@@ -1,0 +1,270 @@
+"""Unified typed configuration for all three pipeline stages.
+
+The reference carries three overlapping configargparse parsers with ~60
+shared flags and conflicting defaults (reference:
+/root/reference/script/models/options.py, script/feature/options.py,
+script/dm/options.py). Here there is ONE schema (`Config`) plus
+per-stage default overlays (`STAGE_DEFAULTS`), while keeping the
+reference's `--config file.txt` CLI surface: the same shipped config
+files (`key = value` lines, `#` comments, bracketed float lists such as
+`combine_loss_w = [0., 0., 1.]`) parse unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # ---- experiment / IO ----
+    config: Optional[str] = None
+    expname: str = "exp"
+    basedir: str = "../logs"
+    datadir: str = "./data/llff/fern"
+    model_name: str = "dfnet"
+    dataset_type: str = "llff"          # 7Scenes / Cambridge / synthetic
+
+    # ---- dataset ----
+    trainskip: int = 1
+    testskip: int = 1
+    df: float = 1.0
+    batch_size: int = 1
+    val_batch_size: int = 1
+    save_pose_avg_stats: bool = False
+    load_pose_avg_stats: bool = False
+    finetune_unlabel: bool = False      # stage 3 self-supervised mode: train split = test seqs
+    half_res: bool = False
+
+    # ---- NeRF model ----
+    netdepth: int = 8
+    netwidth: int = 128
+    netdepth_fine: int = 8
+    netwidth_fine: int = 128
+    N_rand: int = 1536
+    lrate: float = 5e-4
+    lrate_decay: float = 250.0          # exponential decay horizon, in 1000s of steps
+    chunk: int = 1024 * 32
+    netchunk: int = 1024 * 64
+    no_reload: bool = False
+    ft_path: Optional[str] = None
+    no_grad_update: bool = False
+
+    # ---- NeRF-Hist ----
+    NeRFH: bool = False
+    N_vocab: int = 1000
+    fix_index: bool = False
+    encode_hist: bool = False
+    hist_bin: int = 10
+    in_channels_a: int = 50             # appearance embedding dim (hist_bin * N_a)
+    in_channels_t: int = 20             # transient embedding dim (hist_bin * N_tau)
+
+    # ---- rendering ----
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: float = 1.0
+    use_viewdirs: bool = True
+    i_embed: int = 0
+    multires: int = 10
+    multires_views: int = 4
+    raw_noise_std: float = 0.0
+    render_only: bool = False
+    render_test: bool = False
+    render_factor: int = 0
+    reduce_embedding: int = -1
+    epochToMaxFreq: int = -1
+    render_pose_only: bool = False
+    render_video_train: bool = False
+    render_video_test: bool = False
+    no_ndc: bool = True
+    lindisp: bool = False
+    white_bkgd: bool = False
+    beta_min: float = 0.1
+    tinyimg: bool = False
+    tinyscale: float = 4.0
+
+    # ---- stage-2/3 (APR / direct matching) ----
+    pose_only: int = 1
+    learning_rate: float = 1e-4
+    featurenet_batch_size: int = 8
+    pretrain_model_path: str = ""
+    pretrain_featurenet_path: str = ""
+    combine_loss: bool = False
+    combine_loss_w: List[float] = field(default_factory=lambda: [1.0, 1.0, 1.0])
+    patience: List[int] = field(default_factory=lambda: [200, 50])
+    freezeBN: bool = False
+    preprocess_ImgNet: bool = False
+    eval: bool = False
+    no_save_multiple: bool = False
+    save_all_ckpt: bool = False
+    DFNet: bool = False
+    DFNet_s: bool = False
+    featurelossonly: bool = False
+    poselossonly: bool = False
+    tripletloss: bool = False
+    triplet_margin: float = 1.0
+    random_view_synthesis: bool = False
+    rvs_refresh_rate: int = 2
+    rvs_trans: float = 5.0
+    rvs_rotation: float = 1.2
+    d_max: float = 1.0
+    featuremetric: bool = False
+    svd_reg: bool = False
+    val_on_psnr: bool = False
+    feature_matching_lvl: List[int] = field(default_factory=lambda: [0, 1, 2])
+    per_channel: bool = False
+    render_feature_only: bool = False
+    i_eval: int = 50
+
+    # ---- training schedule / logging ----
+    epochs: int = 600
+    i_print: int = 1
+    i_weights: int = 200
+    i_testset: int = 200
+
+    # ---- TPU-native additions (not in the reference) ----
+    precision: str = "fp32"             # fp32 | bf16 — MLP matmul precision
+    mesh_shape: Optional[int] = None    # data-parallel mesh size; None = all local devices
+    donate_step: bool = True            # donate params/opt_state buffers in jitted steps
+    rng_seed: int = 0
+    vgg_init_path: str = ""             # converted ImageNet VGG16 .npz (see convert.py)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-entry-point default overlays reproducing the reference parsers'
+# conflicting defaults (nerf: models/options.py, feature:
+# feature/options.py, dm: dm/options.py).
+STAGE_DEFAULTS = {
+    "nerf": dict(epochs=600, no_grad_update=False),
+    "feature": dict(
+        epochs=2000, learning_rate=1e-4, NeRFH=True, no_grad_update=False,
+        combine_loss_w=[1.0, 1.0, 1.0], pose_only=1,
+    ),
+    "dm": dict(
+        epochs=2000, learning_rate=1e-5, no_grad_update=True,
+        combine_loss_w=[0.5, 0.5], pose_only=0, basedir="../logs/",
+    ),
+}
+
+_FIELDS = {f.name: f for f in dataclasses.fields(Config)}
+
+
+def _coerce(name: str, raw, current):
+    """Coerce a raw string (or list of strings) to the field's type."""
+    f = _FIELDS[name]
+    ftype = f.type
+    if isinstance(raw, bool):
+        return raw
+    if ftype in ("bool", Optional[bool]) or isinstance(current, bool):
+        if isinstance(raw, str):
+            return raw.strip().lower() in ("true", "1", "yes", "on")
+        return bool(raw)
+    if isinstance(current, list) or (isinstance(raw, list)):
+        items = raw if isinstance(raw, list) else _split_list(raw)
+        elem = float if name in ("combine_loss_w",) else int
+        if name == "feature_matching_lvl" or name == "patience":
+            elem = int
+        return [elem(x) for x in items]
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(float(raw))
+    if isinstance(current, float):
+        return float(raw)
+    if raw == "None":
+        return None
+    return raw
+
+
+def _split_list(s: str) -> List[str]:
+    s = s.strip()
+    if s.startswith("[") and s.endswith("]"):
+        s = s[1:-1]
+    parts = [p for p in s.replace(",", " ").split() if p]
+    return parts
+
+
+def _strip_comment(line: str) -> str:
+    # a '#' starts a comment unless inside brackets — the shipped configs
+    # only use trailing comments, so a simple split is enough.
+    out = []
+    for ch in line:
+        if ch == "#":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def parse_config_file(path: str) -> dict:
+    """Parse the reference's configargparse-style `key = value` text file."""
+    kv = {}
+    with open(path) as fh:
+        for line in fh:
+            line = _strip_comment(line).strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            key, val = key.strip(), val.strip()
+            if key:
+                kv[key] = val
+    return kv
+
+
+def parse_args(argv: Optional[List[str]] = None, stage: str = "nerf") -> Config:
+    """Build a Config from CLI args + optional --config file, with
+    per-stage defaults. CLI flags override the config file, which
+    overrides stage defaults (same precedence as configargparse)."""
+    if argv is None:
+        argv = sys.argv[1:]
+    cfg = Config()
+    for k, v in STAGE_DEFAULTS.get(stage, {}).items():
+        object.__setattr__(cfg, k, v)
+
+    cli_kv = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("--"):
+            i += 1
+            continue
+        name = tok[2:]
+        if "=" in name:
+            name, val = name.split("=", 1)
+            cli_kv[name] = val
+            i += 1
+            continue
+        # boolean flags may appear bare; list flags may take several values
+        vals = []
+        j = i + 1
+        while j < len(argv) and not argv[j].startswith("--"):
+            vals.append(argv[j])
+            j += 1
+        if not vals:
+            cli_kv[name] = True
+        elif len(vals) == 1:
+            cli_kv[name] = vals[0]
+        else:
+            cli_kv[name] = vals
+        i = j
+
+    file_kv = {}
+    cfg_path = cli_kv.get("config")
+    if isinstance(cfg_path, str):
+        file_kv = parse_config_file(cfg_path)
+        cfg = cfg.replace(config=cfg_path)
+
+    merged = dict(file_kv)
+    merged.update(cli_kv)
+    unknown = []
+    for k, v in merged.items():
+        if k not in _FIELDS:
+            unknown.append(k)
+            continue
+        cur = getattr(cfg, k)
+        object.__setattr__(cfg, k, _coerce(k, v, cur))
+    if unknown:
+        print(f"[config] ignoring unknown keys: {sorted(unknown)}", file=sys.stderr)
+    return cfg
