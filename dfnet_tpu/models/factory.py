@@ -1,0 +1,59 @@
+"""Model factory: build the NeRF-H (coarse+fine+embeddings) bundle from a
+Config — the create_nerf equivalent (reference:
+/root/reference/script/models/nerfw.py:356-501), minus the torch
+checkpoint-dir scanning (checkpointing lives in training/checkpoints.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dfnet_tpu.config import Config
+from dfnet_tpu.models.embedder import get_embedder
+from dfnet_tpu.models.nerfw import NeRFWConfig, init_embeddings, init_nerfw_params
+from dfnet_tpu.render.volume import NeRFHModel, RenderSettings
+
+
+def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
+    """Returns (static model description, trainable param pytree)."""
+    embed_xyz = get_embedder(cfg.multires, cfg.i_embed, cfg.reduce_embedding,
+                             cfg.epochToMaxFreq, input_dims=3)
+    embed_dir = get_embedder(cfg.multires_views, cfg.i_embed, cfg.reduce_embedding,
+                             cfg.epochToMaxFreq, input_dims=3)
+
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    cfg_coarse = NeRFWConfig(
+        D=cfg.netdepth, W=cfg.netwidth, in_xyz=embed_xyz.out_dim,
+        in_dir=embed_dir.out_dim, compute_dtype=dtype)
+    cfg_fine = NeRFWConfig(
+        D=cfg.netdepth_fine, W=cfg.netwidth_fine, in_xyz=embed_xyz.out_dim,
+        in_dir=embed_dir.out_dim, in_a=cfg.in_channels_a, in_t=cfg.in_channels_t,
+        encode_appearance=True, encode_transient=True, beta_min=cfg.beta_min,
+        compute_dtype=dtype)
+
+    kc, kf, ke = jax.random.split(key, 3)
+    params = {"coarse": init_nerfw_params(kc, cfg_coarse)}
+    if cfg.N_importance > 0:
+        params["fine"] = init_nerfw_params(kf, cfg_fine)
+        emb = init_embeddings(ke, cfg.N_vocab,
+                              n_a=cfg.in_channels_a // cfg.hist_bin,
+                              n_tau=cfg.in_channels_t // cfg.hist_bin)
+        params["embedding_a"] = emb["a"]
+        params["embedding_t"] = emb["t"]
+
+    model = NeRFHModel(cfg_coarse=cfg_coarse, cfg_fine=cfg_fine,
+                       embed_xyz=embed_xyz, embed_dir=embed_dir)
+    return model, params
+
+
+def render_settings(cfg: Config, near: float, far: float,
+                    test: bool = False) -> RenderSettings:
+    s = RenderSettings(
+        N_samples=cfg.N_samples, N_importance=cfg.N_importance,
+        perturb=cfg.perturb, raw_noise_std=cfg.raw_noise_std,
+        lindisp=cfg.lindisp, white_bkgd=cfg.white_bkgd,
+        near=float(near), far=float(far))
+    return s.test() if test else s

@@ -1,0 +1,149 @@
+"""NeRF-W / NeRF-Hist MLPs as pure-functional pytrees.
+
+Architecture parity (reference: /root/reference/script/models/nerfw.py:220-354):
+  - coarse = plain NeRF trunk: D linear+ReLU xyz layers (skip concat of
+    the xyz encoding at layer index `skips`), softplus sigma head,
+    xyz_final → [dir encoding (+appearance)] → W//2 → sigmoid rgb.
+  - fine additionally consumes an appearance embedding in the direction
+    branch and has a 4-layer transient head emitting (rgb, sigma, beta).
+  - histogram embeddings: rows of (N_vocab, 5) / (N_vocab, 2) tables
+    indexed by the 10-bin luminance histogram, flattened to 50/20 dims
+    (nerfw.py:385-391, 69-81).
+
+Everything is jnp; params are nested dicts of {'w','b'} suitable for
+jax.grad / optax / pjit sharding. Matmuls optionally run in bfloat16
+(MXU-native) with float32 accumulation via the `compute_dtype` option.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class NeRFWConfig:
+    D: int = 8
+    W: int = 128
+    skips: tuple = (4,)
+    in_xyz: int = 63
+    in_dir: int = 27
+    in_a: int = 50          # appearance embedding dim (fine only)
+    in_t: int = 20          # transient embedding dim (fine only)
+    encode_appearance: bool = False
+    encode_transient: bool = False
+    beta_min: float = 0.1
+    out_ch: int = 3         # >3 = feature field (giraffe-style) — linear rgb head
+    compute_dtype: jnp.dtype = jnp.float32
+
+
+def _torch_linear_init(key, fan_in: int, fan_out: int):
+    """Match torch.nn.Linear default init: kaiming-uniform weights
+    (bound 1/sqrt(fan_in)) and uniform bias with the same bound."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_nerfw_params(key, cfg: NeRFWConfig) -> Dict:
+    """Create the parameter pytree for one (coarse or fine) NeRFW MLP."""
+    keys = jax.random.split(key, 32)
+    ki = iter(keys)
+    p: Dict = {}
+    in_a = cfg.in_a if cfg.encode_appearance else 0
+    for i in range(cfg.D):
+        fan_in = cfg.in_xyz if i == 0 else (cfg.W + cfg.in_xyz if i in cfg.skips else cfg.W)
+        p[f"xyz_{i}"] = _torch_linear_init(next(ki), fan_in, cfg.W)
+    p["xyz_final"] = _torch_linear_init(next(ki), cfg.W, cfg.W)
+    p["dir"] = _torch_linear_init(next(ki), cfg.W + cfg.in_dir + in_a, cfg.W // 2)
+    p["static_sigma"] = _torch_linear_init(next(ki), cfg.W, 1)
+    p["static_rgb"] = _torch_linear_init(next(ki), cfg.W // 2, cfg.out_ch)
+    if cfg.encode_transient:
+        p["trans_0"] = _torch_linear_init(next(ki), cfg.W + cfg.in_t, cfg.W // 2)
+        for i in (1, 2, 3):
+            p[f"trans_{i}"] = _torch_linear_init(next(ki), cfg.W // 2, cfg.W // 2)
+        p["trans_sigma"] = _torch_linear_init(next(ki), cfg.W // 2, 1)
+        p["trans_rgb"] = _torch_linear_init(next(ki), cfg.W // 2, cfg.out_ch)
+        p["trans_beta"] = _torch_linear_init(next(ki), cfg.W // 2, 1)
+    return p
+
+
+def _dense(p, x, dtype):
+    w = p["w"].astype(dtype)
+    return jnp.dot(x.astype(dtype), w, preferred_element_type=jnp.float32) + p["b"]
+
+
+def nerfw_apply(
+    params: Dict,
+    cfg: NeRFWConfig,
+    xyz_emb: jnp.ndarray,                 # (N, in_xyz)
+    dir_emb: Optional[jnp.ndarray] = None,  # (N, in_dir)
+    a_emb: Optional[jnp.ndarray] = None,    # (N, in_a)
+    t_emb: Optional[jnp.ndarray] = None,    # (N, in_t)
+    sigma_only: bool = False,
+    output_transient: bool = False,
+) -> jnp.ndarray:
+    """Returns, concatenated along the last axis:
+      sigma_only:        (N, 1)  static_sigma
+      output_transient:  (N, 2*out_ch+3) static_rgb, static_sigma,
+                         transient_rgb, transient_sigma, transient_beta
+      else:              (N, out_ch+1) static_rgb, static_sigma
+    """
+    dt = cfg.compute_dtype
+    h = xyz_emb
+    for i in range(cfg.D):
+        if i in cfg.skips:
+            h = jnp.concatenate([xyz_emb, h], -1)
+        h = jax.nn.relu(_dense(params[f"xyz_{i}"], h, dt))
+    static_sigma = jax.nn.softplus(_dense(params["static_sigma"], h, dt))
+    if sigma_only:
+        return static_sigma
+
+    xyz_final = _dense(params["xyz_final"], h, dt)
+    dir_in = [xyz_final, dir_emb]
+    if cfg.encode_appearance:
+        dir_in.append(a_emb)
+    d = jax.nn.relu(_dense(params["dir"], jnp.concatenate(dir_in, -1), dt))
+    rgb = _dense(params["static_rgb"], d, dt)
+    if cfg.out_ch == 3:
+        rgb = jax.nn.sigmoid(rgb)
+    static = jnp.concatenate([rgb, static_sigma], -1)
+    if not output_transient:
+        return static
+
+    t = jnp.concatenate([xyz_final, t_emb], -1)
+    for i in range(4):
+        t = jax.nn.relu(_dense(params[f"trans_{i}"], t, dt))
+    t_sigma = jax.nn.softplus(_dense(params["trans_sigma"], t, dt))
+    t_rgb = _dense(params["trans_rgb"], t, dt)
+    if cfg.out_ch == 3:
+        t_rgb = jax.nn.sigmoid(t_rgb)
+    t_beta = jax.nn.softplus(_dense(params["trans_beta"], t, dt))
+    return jnp.concatenate([static, t_rgb, t_sigma, t_beta], -1)
+
+
+# ---------------------------------------------------------------------------
+# histogram embeddings
+# ---------------------------------------------------------------------------
+
+def init_embeddings(key, n_vocab: int, n_a: int = 5, n_tau: int = 2) -> Dict:
+    """Appearance/transient embedding tables, N(0,1) init like
+    torch.nn.Embedding."""
+    ka, kt = jax.random.split(key)
+    return {
+        "a": jax.random.normal(ka, (n_vocab, n_a), jnp.float32),
+        "t": jax.random.normal(kt, (n_vocab, n_tau), jnp.float32),
+    }
+
+
+def lookup_hist_embedding(table: jnp.ndarray, hist: jnp.ndarray) -> jnp.ndarray:
+    """hist (N, hist_bin) int → (N, hist_bin*dim): rows gathered per bin
+    and flattened (nerfw.py:69-81)."""
+    emb = table[hist]                       # (N, hist_bin, dim)
+    return emb.reshape(hist.shape[0], -1)

@@ -1,0 +1,302 @@
+"""Volume rendering: compositing + the coarse→fine render pipeline.
+
+Functional parity: /root/reference/script/models/rendering.py —
+`raw2outputs_NeRFW` (:132-243, the nerf_pl NeRF-W variant: 1e2 terminal
+delta, NO ray-norm scaling of deltas, shifted-cumprod transmittance,
+beta_min added AFTER beta composition, test-time rgb stays the
+static+transient composite while depth/disp re-composite static-only),
+`raw2outputs` (:67-130, original-NeRF variant with 1e10 terminal and
+|d|-scaled dists), and `render_rays` (:245-337).
+
+TPU-first structure: one pure function over a fixed-size ray batch —
+no python chunk loops, no dict-of-device-tensors. Full-image rendering
+chunks the ray axis with `jax.lax.map` (render_image), and multi-chip
+runs shard the same axis over a Mesh instead (dfnet_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dfnet_tpu.models.embedder import Embedder
+from dfnet_tpu.models.nerfw import (
+    NeRFWConfig,
+    lookup_hist_embedding,
+    nerfw_apply,
+)
+from dfnet_tpu.render.rays import get_rays
+from dfnet_tpu.render.sampling import sample_pdf, stratified_z_vals
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    lindisp: bool = False
+    white_bkgd: bool = False
+    test_time: bool = False
+    near: float = 0.0
+    far: float = 1.0
+
+    def test(self) -> "RenderSettings":
+        return replace(self, perturb=0.0, raw_noise_std=0.0, test_time=True)
+
+
+@dataclass(frozen=True)
+class NeRFHModel:
+    """Static model description (configs + embedders); params live in a
+    separate pytree {'coarse','fine','embedding_a','embedding_t'}."""
+    cfg_coarse: NeRFWConfig
+    cfg_fine: NeRFWConfig
+    embed_xyz: Embedder
+    embed_dir: Embedder
+
+
+def composite_nerfw(raw, z_vals, output_transient: bool, beta_min: float = 0.1,
+                    white_bkgd: bool = False, test_time: bool = False,
+                    raw_noise: Optional[jnp.ndarray] = None,
+                    sigma_only: bool = False, out_ch: int = 3) -> Dict:
+    """NeRF-W compositing of raw MLP outputs along each ray.
+
+    raw: (N, S, C) with C = out_ch+1 (static), 2*out_ch+3 (transient),
+    or 1 (sigma_only). Returns a dict of per-ray maps.
+    """
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    delta_inf = 1e2 * jnp.ones_like(deltas[:, :1])   # nerf_pl uses 1e2, not 1e10
+    deltas = jnp.concatenate([deltas, delta_inf], -1)
+
+    if sigma_only:
+        static_sigmas = raw[..., 0]
+        alphas = 1.0 - jnp.exp(-deltas * static_sigmas)
+        trans = _shifted_cumprod(alphas)
+        weights = alphas * trans
+        return {"weights": weights, "acc": weights.sum(-1)}
+
+    static_rgbs = raw[..., :out_ch]
+    static_sigmas = raw[..., out_ch]
+
+    if output_transient:
+        transient_rgbs = raw[..., out_ch + 1: 2 * out_ch + 1]
+        transient_sigmas = raw[..., 2 * out_ch + 1]
+        transient_betas = raw[..., 2 * out_ch + 2]
+        static_alphas = 1.0 - jnp.exp(-deltas * static_sigmas)
+        transient_alphas = 1.0 - jnp.exp(-deltas * transient_sigmas)
+        alphas = 1.0 - jnp.exp(-deltas * (static_sigmas + transient_sigmas))
+    else:
+        sig = static_sigmas
+        if raw_noise is not None:
+            sig = jax.nn.relu(sig + raw_noise)
+        alphas = 1.0 - jnp.exp(-deltas * sig)
+
+    trans = _shifted_cumprod(alphas)
+    weights = alphas * trans
+    weights_sum = weights.sum(-1)
+
+    out: Dict = {"weights": weights, "acc": weights_sum}
+
+    if output_transient:
+        static_w = static_alphas * trans
+        transient_w = transient_alphas * trans
+        static_rgb_map = (static_w[..., None] * static_rgbs).sum(-2)
+        if white_bkgd:
+            static_rgb_map = static_rgb_map + (1.0 - weights_sum[..., None])
+        transient_rgb_map = (transient_w[..., None] * transient_rgbs).sum(-2)
+        beta = (transient_w * transient_betas).sum(-1) + beta_min  # beta_min AFTER composition
+        rgb_map = static_rgb_map + transient_rgb_map
+        out.update(rgb=rgb_map, beta=beta, transient_sigmas=transient_sigmas,
+                   rgb_static=static_rgb_map, rgb_transient=transient_rgb_map)
+        if test_time:
+            # static-only recomposite drives depth/disp (rgb stays combined)
+            s_trans = _shifted_cumprod(static_alphas)
+            static_w_ = static_alphas * s_trans
+            depth = (static_w_ * z_vals).sum(-1)
+            out["rgb_fine_static"] = (static_w_[..., None] * static_rgbs).sum(-2)
+        else:
+            depth = (weights * z_vals).sum(-1)
+    else:
+        rgb_map = (weights[..., None] * static_rgbs).sum(-2)
+        if white_bkgd:
+            rgb_map = rgb_map + (1.0 - weights_sum[..., None])
+        out["rgb"] = rgb_map
+        depth = (weights * z_vals).sum(-1)
+
+    out["depth"] = depth
+    out["disp"] = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(weights_sum, 1e-10))
+    return out
+
+
+def _shifted_cumprod(alphas):
+    """[1, 1-a1, (1-a1)(1-a2), ...] — transmittance before each sample."""
+    shifted = jnp.concatenate([jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 0.0], -1)
+    return jnp.cumprod(shifted[:, :-1], -1)
+
+
+def composite_vanilla(raw, z_vals, rays_d, raw_noise: Optional[jnp.ndarray] = None,
+                      white_bkgd: bool = False) -> Dict:
+    """Original-NeRF compositing (1e10 terminal delta, |d|-scaled dists,
+    sigmoid rgb / relu sigma applied here; reference rendering.py:67-130)."""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, 1e10 * jnp.ones_like(dists[..., :1])], -1)
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+    rgb = jax.nn.sigmoid(raw[..., :3])
+    sig = raw[..., 3]
+    if raw_noise is not None:
+        sig = sig + raw_noise
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sig) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1), -1
+    )[..., :-1]
+    weights = alpha * trans
+    rgb_map = (weights[..., None] * rgb).sum(-2)
+    depth = (weights * z_vals).sum(-1)
+    acc = weights.sum(-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc[..., None])
+    return {"rgb": rgb_map, "disp": disp, "acc": acc, "weights": weights, "depth": depth}
+
+
+# ---------------------------------------------------------------------------
+# coarse → fine pipeline
+# ---------------------------------------------------------------------------
+
+def render_rays(
+    params: Dict,
+    model: NeRFHModel,
+    rays_o: jnp.ndarray,        # (N, 3)
+    rays_d: jnp.ndarray,        # (N, 3)
+    hist: jnp.ndarray,          # (N, hist_bin) int — histogram labels
+    settings: RenderSettings,
+    rng: Optional[jax.Array] = None,
+    epoch: Optional[jnp.ndarray] = None,
+) -> Dict:
+    """Render a batch of rays through coarse+fine NeRF-H.
+
+    Differentiable w.r.t. params AND rays (stage 3 needs d(loss)/d(pose)
+    through rays_o/rays_d). Fine z-samples are detached, matching the
+    reference (rendering.py:302).
+    """
+    n = rays_o.shape[0]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = jnp.full((n, 1), settings.near, rays_o.dtype)
+    far = jnp.full((n, 1), settings.far, rays_o.dtype)
+
+    k_strat = k_pdf = k_noise = None
+    if rng is not None:
+        k_strat, k_pdf, k_noise = jax.random.split(rng, 3)
+
+    z_vals = stratified_z_vals(near, far, settings.N_samples, k_strat,
+                               settings.lindisp, settings.perturb)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    xyz_emb = model.embed_xyz(pts.reshape(-1, 3), epoch)
+    cfgc = model.cfg_coarse
+    out: Dict = {}
+
+    if settings.test_time:
+        # coarse pass is sigma-only at test time (nerfw.py:37-46)
+        raw_c = nerfw_apply(params["coarse"], cfgc, xyz_emb, sigma_only=True)
+        raw_c = raw_c.reshape(n, settings.N_samples, 1)
+        comp_c = composite_nerfw(raw_c, z_vals, output_transient=False, sigma_only=True)
+    else:
+        dir_emb = model.embed_dir(viewdirs, epoch)
+        dir_emb_s = jnp.repeat(dir_emb, settings.N_samples, axis=0)
+        raw_c = nerfw_apply(params["coarse"], cfgc, xyz_emb, dir_emb_s,
+                            output_transient=False)
+        raw_c = raw_c.reshape(n, settings.N_samples, cfgc.out_ch + 1)
+        noise = None
+        if settings.raw_noise_std > 0.0 and k_noise is not None:
+            noise = settings.raw_noise_std * jax.random.normal(
+                k_noise, raw_c.shape[:-1])
+        comp_c = composite_nerfw(raw_c, z_vals, output_transient=False,
+                                 white_bkgd=settings.white_bkgd, raw_noise=noise,
+                                 out_ch=cfgc.out_ch)
+        out["rgb0"] = comp_c["rgb"]
+        out["disp0"] = comp_c["disp"]
+        out["acc0"] = comp_c["acc"]
+
+    if settings.N_importance > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
+                               settings.N_importance, k_pdf,
+                               det=(settings.perturb == 0.0))
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        n_all = settings.N_samples + settings.N_importance
+        pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+
+        cfgf = model.cfg_fine
+        xyz_f = model.embed_xyz(pts_f.reshape(-1, 3), epoch)
+        dir_emb = model.embed_dir(viewdirs, epoch)
+        dir_f = jnp.repeat(dir_emb, n_all, axis=0)
+        a_emb = lookup_hist_embedding(params["embedding_a"], hist)   # (N, in_a)
+        t_emb = lookup_hist_embedding(params["embedding_t"], hist)   # (N, in_t)
+        a_f = jnp.repeat(a_emb, n_all, axis=0)
+        t_f = jnp.repeat(t_emb, n_all, axis=0)
+
+        raw_f = nerfw_apply(params["fine"], cfgf, xyz_f, dir_f, a_f, t_f,
+                            output_transient=True)
+        raw_f = raw_f.reshape(n, n_all, 2 * cfgf.out_ch + 3)
+        comp_f = composite_nerfw(raw_f, z_all, output_transient=True,
+                                 beta_min=cfgf.beta_min,
+                                 white_bkgd=settings.white_bkgd,
+                                 test_time=settings.test_time,
+                                 out_ch=cfgf.out_ch)
+        out["rgb"] = comp_f["rgb"]
+        out["disp"] = comp_f["disp"]
+        out["acc"] = comp_f["acc"]
+        out["depth"] = comp_f["depth"]
+        if not settings.test_time:
+            out["beta"] = comp_f["beta"]
+            out["transient_sigmas"] = comp_f["transient_sigmas"]
+            out["z_std"] = jnp.std(z_samples, axis=-1)
+    else:
+        out["rgb"] = comp_c.get("rgb")
+        out["disp"] = comp_c.get("disp")
+        out["acc"] = comp_c["acc"]
+    return out
+
+
+def render_image(
+    params: Dict,
+    model: NeRFHModel,
+    c2w: jnp.ndarray,            # (3, 4)
+    hist: jnp.ndarray,           # (hist_bin,) int
+    H: int,
+    W: int,
+    focal: float,
+    settings: RenderSettings,
+    chunk: int = 1024 * 8,
+    rng: Optional[jax.Array] = None,
+) -> Dict:
+    """Full-image render: flatten rays, pad to a chunk multiple, and
+    `lax.map` fixed-size blocks (the sequential memory-bounding analog
+    of the reference's batchify_rays, rendering.py:339-351)."""
+    rays_o, rays_d = get_rays(H, W, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    n = rays_o.shape[0]
+    n_pad = -n % chunk
+    rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], 0)
+    rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+    n_chunks = (n + n_pad) // chunk
+    rays_o = rays_o.reshape(n_chunks, chunk, 3)
+    rays_d = rays_d.reshape(n_chunks, chunk, 3)
+    hist_b = jnp.broadcast_to(hist[None], (chunk,) + hist.shape)
+
+    def body(args):
+        ro, rd = args
+        r = render_rays(params, model, ro, rd, hist_b, settings, rng)
+        return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
+
+    res = jax.lax.map(body, (rays_o, rays_d))
+    out = {}
+    for k, v in res.items():
+        flat = v.reshape((n_chunks * chunk,) + v.shape[2:])[:n]
+        out[k] = flat.reshape((H, W) + v.shape[2:])
+    return out

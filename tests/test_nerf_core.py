@@ -1,0 +1,266 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfnet_tpu.config import parse_args
+from dfnet_tpu.models.embedder import Embedder, get_embedder
+from dfnet_tpu.models.factory import create_nerfh, render_settings
+from dfnet_tpu.models.losses import nerfw_loss, img2mse, mse2psnr
+from dfnet_tpu.models.nerfw import (
+    NeRFWConfig, init_nerfw_params, init_embeddings, nerfw_apply,
+    lookup_hist_embedding,
+)
+from dfnet_tpu.render.rays import get_rays, get_rays_np
+from dfnet_tpu.render.sampling import sample_pdf, stratified_z_vals
+from dfnet_tpu.render.volume import (
+    NeRFHModel, RenderSettings, composite_nerfw, composite_vanilla,
+    render_rays, render_image,
+)
+
+
+# ---------------------------------------------------------------- embedder
+
+def test_embedder_dims():
+    assert get_embedder(10).out_dim == 63   # 3 + 3*10*2
+    assert get_embedder(4).out_dim == 27    # 3 + 3*4*2
+    assert get_embedder(10, i_embed=-1).out_dim == 3
+    assert get_embedder(10, reduce_mode=1).out_dim == 3
+
+
+def test_embedder_values_match_formula():
+    emb = get_embedder(4)
+    x = jnp.array([[0.3, -0.7, 1.2]])
+    out = np.asarray(emb(x))[0]
+    freqs = 2.0 ** np.linspace(0, 3, 4)
+    expect = [np.array([0.3, -0.7, 1.2])]
+    for f in freqs:
+        expect.append(np.sin(np.array([0.3, -0.7, 1.2]) * f))
+        expect.append(np.cos(np.array([0.3, -0.7, 1.2]) * f))
+    np.testing.assert_allclose(out, np.concatenate(expect), atol=1e-5)
+
+
+def test_embedder_windowed():
+    emb = Embedder(3, 4, 3.0, windowed=True, epoch_to_max_freq=10)
+    x = jnp.ones((2, 3))
+    full = Embedder(3, 4, 3.0)(x)
+    # at epoch >= N the window is fully open
+    np.testing.assert_allclose(np.asarray(emb(x, epoch=10.0)), np.asarray(full), atol=1e-6)
+    # at epoch 0 all sin/cos bands are zeroed
+    out0 = np.asarray(emb(x, epoch=0.0))
+    np.testing.assert_allclose(out0[:, 3:], 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------- MLP
+
+def test_nerfw_apply_shapes():
+    key = jax.random.PRNGKey(0)
+    cfg_c = NeRFWConfig(D=4, W=32, in_xyz=63, in_dir=27)
+    cfg_f = NeRFWConfig(D=4, W=32, in_xyz=63, in_dir=27, in_a=50, in_t=20,
+                        encode_appearance=True, encode_transient=True)
+    pc = init_nerfw_params(key, cfg_c)
+    pf = init_nerfw_params(key, cfg_f)
+    n = 16
+    xyz = jnp.ones((n, 63))
+    d = jnp.ones((n, 27))
+    assert nerfw_apply(pc, cfg_c, xyz, sigma_only=True).shape == (n, 1)
+    assert nerfw_apply(pc, cfg_c, xyz, d).shape == (n, 4)
+    out = nerfw_apply(pf, cfg_f, xyz, d, jnp.ones((n, 50)), jnp.ones((n, 20)),
+                      output_transient=True)
+    assert out.shape == (n, 9)
+    o = np.asarray(out)
+    # sigmoid rgb in (0,1); softplus sigmas/beta positive
+    assert (o[:, :3] > 0).all() and (o[:, :3] < 1).all()
+    assert (o[:, 3] > 0).all() and (o[:, 7] > 0).all() and (o[:, 8] > 0).all()
+
+
+def test_hist_embedding_lookup():
+    table = jnp.arange(20, dtype=jnp.float32).reshape(10, 2)  # vocab 10, dim 2
+    hist = jnp.array([[0, 3, 9]])
+    out = np.asarray(lookup_hist_embedding(table, hist))
+    np.testing.assert_allclose(out, [[0, 1, 6, 7, 18, 19]])
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_z_bounds_and_perturb():
+    near = jnp.full((4, 1), 2.0)
+    far = jnp.full((4, 1), 6.0)
+    z = np.asarray(stratified_z_vals(near, far, 8))
+    np.testing.assert_allclose(z[:, 0], 2.0)
+    np.testing.assert_allclose(z[:, -1], 6.0)
+    zp = np.asarray(stratified_z_vals(near, far, 8, jax.random.PRNGKey(0), perturb=1.0))
+    assert (np.diff(zp, axis=-1) > 0).all()
+    assert (zp >= 2.0).all() and (zp <= 6.0).all()
+
+
+def test_sample_pdf_concentrates_mass():
+    # all weight in one bin → all samples land in that bin
+    bins = jnp.linspace(0.0, 1.0, 9)[None].repeat(2, 0)   # 8 intervals
+    w = jnp.zeros((2, 8)).at[:, 3].set(100.0)
+    s = np.asarray(sample_pdf(bins, w, 16, det=True))
+    lo, hi = 3 / 8, 4 / 8
+    # u=0 / u=1 endpoints land at the domain extremes (the +1e-5 weight
+    # smoothing gives every bin nonzero mass), so expect ~14/16 inside
+    frac_inside = ((s >= lo - 0.01) & (s <= hi + 0.01)).mean()
+    assert frac_inside >= 0.85
+
+
+def test_sample_pdf_uniform_weights_are_quantiles():
+    bins = jnp.linspace(0.0, 2.0, 11)[None]
+    w = jnp.ones((1, 10))
+    s = np.asarray(sample_pdf(bins, w, 5, det=True))[0]
+    np.testing.assert_allclose(s, np.linspace(0, 2, 5), atol=1e-3)
+
+
+# ---------------------------------------------------------------- compositing
+
+def manual_composite_static(rgbs, sigmas, z):
+    deltas = np.concatenate([np.diff(z), [1e2]])
+    alphas = 1 - np.exp(-deltas * sigmas)
+    T = np.cumprod(np.concatenate([[1.0], 1 - alphas]))[:-1]
+    w = alphas * T
+    return (w[:, None] * rgbs).sum(0), w
+
+
+def test_composite_nerfw_static_matches_manual():
+    rng = np.random.default_rng(0)
+    z = np.sort(rng.uniform(0.1, 3.0, 5))
+    sig = rng.uniform(0, 3, 5).astype(np.float32)
+    rgb = rng.uniform(0, 1, (5, 3)).astype(np.float32)
+    raw = jnp.asarray(np.concatenate([rgb, sig[:, None]], -1)[None])
+    out = composite_nerfw(raw, jnp.asarray(z[None]), output_transient=False)
+    exp_rgb, exp_w = manual_composite_static(rgb, sig, z)
+    np.testing.assert_allclose(np.asarray(out["rgb"][0]), exp_rgb, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights"][0]), exp_w, atol=1e-5)
+
+
+def test_composite_nerfw_transient_beta_min_after():
+    rng = np.random.default_rng(1)
+    S = 4
+    z = np.sort(rng.uniform(0.1, 2.0, S))
+    raw_np = rng.uniform(0.1, 1.0, (1, S, 9)).astype(np.float32)
+    out = composite_nerfw(jnp.asarray(raw_np), jnp.asarray(z[None]),
+                          output_transient=True, beta_min=0.1)
+    # manual
+    s_rgb, s_sig = raw_np[0, :, :3], raw_np[0, :, 3]
+    t_rgb, t_sig, t_beta = raw_np[0, :, 4:7], raw_np[0, :, 7], raw_np[0, :, 8]
+    deltas = np.concatenate([np.diff(z), [1e2]])
+    a_s = 1 - np.exp(-deltas * s_sig)
+    a_t = 1 - np.exp(-deltas * t_sig)
+    a = 1 - np.exp(-deltas * (s_sig + t_sig))
+    T = np.cumprod(np.concatenate([[1.0], 1 - a]))[:-1]
+    rgb = ((a_s * T)[:, None] * s_rgb).sum(0) + ((a_t * T)[:, None] * t_rgb).sum(0)
+    beta = (a_t * T * t_beta).sum() + 0.1
+    np.testing.assert_allclose(np.asarray(out["rgb"][0]), rgb, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["beta"][0]), beta, atol=1e-5)
+
+
+def test_composite_vanilla_norm_scaling():
+    # doubled ray norm halves effective sigma distance... i.e. scales dists
+    z = jnp.asarray([[0.5, 1.0, 1.5]])
+    raw = jnp.zeros((1, 3, 4)).at[..., 3].set(1.0)
+    d1 = jnp.asarray([[0.0, 0.0, -1.0]])
+    d2 = 2 * d1
+    o1 = composite_vanilla(raw, z, d1)
+    o2 = composite_vanilla(raw, z, d2)
+    a1 = np.asarray(o1["weights"][0, 0])
+    a2 = np.asarray(o2["weights"][0, 0])
+    sig = np.log(1 + np.exp(0.0))  # raw sigma=1 → relu(1)=1... actually raw is pre-activation
+    np.testing.assert_allclose(a2, 1 - np.exp(-1.0 * 1.0), atol=1e-5)
+    np.testing.assert_allclose(a1, 1 - np.exp(-1.0 * 0.5), atol=1e-5)
+
+
+# ---------------------------------------------------------------- rays
+
+def test_get_rays_center_pixel_points_forward():
+    c2w = jnp.eye(4)[:3]
+    H, W, f = 4, 4, 10.0
+    ro, rd = get_rays(H, W, f, c2w)
+    # all origins are the camera position
+    np.testing.assert_allclose(np.asarray(ro), 0.0)
+    # pixel (0,0): dir = [(-W/2)/f, (H/2)/f... j=0 → -(0-H/2)/f = +H/2f, -1]
+    np.testing.assert_allclose(np.asarray(rd[0, 0]), [-0.2, 0.2, -1.0], atol=1e-6)
+    # numpy version agrees
+    ro2, rd2 = get_rays_np(H, W, f, np.eye(4)[:3])
+    np.testing.assert_allclose(np.asarray(rd), rd2, atol=1e-6)
+
+
+# ---------------------------------------------------------------- end-to-end renderer
+
+def _tiny_model(key, encode=True):
+    cfg = parse_args(["--netdepth", "2", "--netwidth", "16",
+                      "--netdepth_fine", "2", "--netwidth_fine", "16",
+                      "--N_samples", "8", "--N_importance", "8",
+                      "--NeRFH", "--encode_hist"], stage="nerf")
+    model, params = create_nerfh(cfg, key)
+    return cfg, model, params
+
+
+def test_render_rays_shapes_and_determinism():
+    cfg, model, params = _tiny_model(jax.random.PRNGKey(0))
+    n = 32
+    ro = jnp.zeros((n, 3))
+    rd = jnp.concatenate([jnp.zeros((n, 2)), -jnp.ones((n, 1))], -1)
+    hist = jnp.zeros((n, 10), jnp.int32)
+    st = render_settings(cfg, 0.5, 3.0, test=True)
+    out1 = render_rays(params, model, ro, rd, hist, st)
+    out2 = render_rays(params, model, ro, rd, hist, st)
+    assert out1["rgb"].shape == (n, 3)
+    assert out1["disp"].shape == (n,)
+    np.testing.assert_array_equal(np.asarray(out1["rgb"]), np.asarray(out2["rgb"]))
+    # train mode returns coarse + transient extras
+    st_train = render_settings(cfg, 0.5, 3.0)
+    out3 = render_rays(params, model, ro, rd, hist, st_train,
+                       rng=jax.random.PRNGKey(1))
+    for k in ("rgb0", "beta", "transient_sigmas", "z_std"):
+        assert k in out3
+    assert out3["transient_sigmas"].shape == (n, 16)
+
+
+def test_render_image_matches_render_rays():
+    cfg, model, params = _tiny_model(jax.random.PRNGKey(0))
+    H, W, f = 6, 7, 8.0
+    c2w = jnp.eye(4)[:3]
+    hist = jnp.zeros((10,), jnp.int32)
+    st = render_settings(cfg, 0.5, 3.0, test=True)
+    img = render_image(params, model, c2w, hist, H, W, f, st, chunk=16)
+    assert img["rgb"].shape == (H, W, 3)
+    ro, rd = get_rays(H, W, f, c2w)
+    flat = render_rays(params, model, ro.reshape(-1, 3), rd.reshape(-1, 3),
+                       jnp.zeros((H * W, 10), jnp.int32), st)
+    np.testing.assert_allclose(np.asarray(img["rgb"]).reshape(-1, 3),
+                               np.asarray(flat["rgb"]), atol=1e-5)
+
+
+def test_gradient_flows_to_pose():
+    """Stage-3 prerequisite: d(render)/d(c2w) must be nonzero."""
+    cfg, model, params = _tiny_model(jax.random.PRNGKey(0))
+    st = render_settings(cfg, 0.5, 3.0, test=True)
+    hist = jnp.zeros((12, 10), jnp.int32)
+
+    def f(c2w):
+        ro, rd = get_rays(3, 4, 5.0, c2w)
+        out = render_rays(params, model, ro.reshape(-1, 3), rd.reshape(-1, 3), hist, st)
+        return jnp.sum(out["rgb"] ** 2)
+
+    g = jax.grad(f)(jnp.eye(4)[:3] + 0.0)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_nerfw_loss_terms():
+    n = 8
+    res = {
+        "rgb0": jnp.zeros((n, 3)),
+        "rgb": jnp.zeros((n, 3)),
+        "beta": jnp.full((n,), 0.5),
+        "transient_sigmas": jnp.full((n, 16), 0.2),
+    }
+    tgt = jnp.ones((n, 3)) * 0.5
+    d = nerfw_loss(res, tgt)
+    np.testing.assert_allclose(float(d["c_l"]), 0.5 * 0.25, atol=1e-6)
+    np.testing.assert_allclose(float(d["f_l"]), 0.25 / (2 * 0.25), atol=1e-6)
+    np.testing.assert_allclose(float(d["b_l"]), 3 + np.log(0.5), atol=1e-6)
+    np.testing.assert_allclose(float(d["s_l"]), 0.01 * 0.2, atol=1e-6)
+    assert float(mse2psnr(img2mse(jnp.zeros(4), jnp.ones(4) * 0.1))) == pytest.approx(20.0)
