@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: NeRF-H test-time rendering throughput (rays/sec/chip).
+
+Workload matches the reference's measured configuration (BASELINE.md):
+MLP D=8 / W=128, 64 coarse samples (sigma-only at test time) + 128 fine
+samples per ray, histogram-conditioned appearance/transient embeddings,
+inverse-CDF hierarchical sampling. Baseline target: 5M rays/sec/chip
+(BASELINE.json north_star).
+
+Timing note: on this platform `block_until_ready()` does not synchronize
+through the device relay, so each timed call reduces the rendered image
+to a scalar checksum and fetches it to host — a true synchronization
+with a 4-byte transfer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_RAYS_PER_SEC = 5.0e6
+N_RAYS_PER_CALL = 1 << 18
+CHUNK = 1 << 14
+
+
+def main():
+    from dfnet_tpu.config import parse_args
+    from dfnet_tpu.models.factory import create_nerfh, render_settings
+    from dfnet_tpu.render.volume import render_rays
+
+    precision = "fp32" if "--fp32" in sys.argv else "bf16"
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--precision", precision,
+    ], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+
+    n, chunk = N_RAYS_PER_CALL, CHUNK
+    n_chunks = n // chunk
+    hist = jnp.zeros((chunk, cfg.hist_bin), jnp.int32)
+
+    @jax.jit
+    def render_checksum(params, rays_o, rays_d, jitter):
+        rays_o = rays_o + jitter  # traced arg: distinct work per call, no recompile
+        def body(args):
+            o, d = args
+            return jnp.sum(render_rays(params, model, o, d, hist, settings)["rgb"])
+        return jnp.sum(jax.lax.map(
+            body, (rays_o.reshape(n_chunks, chunk, 3),
+                   rays_d.reshape(n_chunks, chunk, 3))))
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    rays_o = jax.random.normal(k1, (n, 3)) * 0.1
+    rays_d = jax.random.normal(k2, (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    float(render_checksum(params, rays_o, rays_d, 0.0))  # compile + warm
+
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        checksum = float(render_checksum(params, rays_o, rays_d, i * 1e-6))
+    dt = time.perf_counter() - t0
+    assert checksum == checksum, "render produced NaN"
+
+    rays_per_sec = n * iters / dt
+    print(json.dumps({
+        "metric": "nerf_render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

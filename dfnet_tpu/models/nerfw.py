@@ -128,6 +128,73 @@ def nerfw_apply(
     return jnp.concatenate([static, t_rgb, t_sigma, t_beta], -1)
 
 
+def nerfw_apply_rays(
+    params: Dict,
+    cfg: NeRFWConfig,
+    xyz_emb: jnp.ndarray,                   # (N, S, in_xyz) — per point
+    dir_emb: Optional[jnp.ndarray] = None,  # (N, in_dir)    — per ray
+    a_emb: Optional[jnp.ndarray] = None,    # (N, in_a)      — per ray
+    t_emb: Optional[jnp.ndarray] = None,    # (N, in_t)      — per ray
+    sigma_only: bool = False,
+    output_transient: bool = False,
+) -> jnp.ndarray:
+    """Ray-structured apply: algebraically identical to nerfw_apply but
+    per-ray inputs (viewdirs, appearance/transient embeddings) are NOT
+    broadcast to every sample. The concatenated dense layers split into
+    per-point and per-ray partial matmuls:
+        [h, d, a] @ W = h @ W_h + (d @ W_d + a @ W_a)[:, None, :]
+    cutting both HBM traffic (no (N·S, dim) repeat materialization) and
+    FLOPs (the per-ray part is computed once per ray, not per sample).
+    """
+    dt = cfg.compute_dtype
+    h = xyz_emb
+    for i in range(cfg.D):
+        if i in cfg.skips:
+            h = jnp.concatenate([xyz_emb, h], -1)
+        h = jax.nn.relu(_dense(params[f"xyz_{i}"], h, dt))
+        if dt != jnp.float32:
+            h = h.astype(dt)
+    static_sigma = jax.nn.softplus(_dense(params["static_sigma"], h, dt))
+    if sigma_only:
+        return static_sigma
+
+    xyz_final = _dense(params["xyz_final"], h, dt)
+
+    # dir layer: rows [0:W] act on xyz_final (per point); rows [W:W+in_dir]
+    # on dir_emb and [W+in_dir:] on a_emb (both per ray)
+    wd = params["dir"]["w"]
+    W = cfg.W
+    per_ray = jnp.dot(dir_emb.astype(dt), wd[W:W + cfg.in_dir].astype(dt),
+                      preferred_element_type=jnp.float32)
+    if cfg.encode_appearance:
+        per_ray = per_ray + jnp.dot(a_emb.astype(dt), wd[W + cfg.in_dir:].astype(dt),
+                                    preferred_element_type=jnp.float32)
+    d = jnp.dot(xyz_final.astype(dt), wd[:W].astype(dt),
+                preferred_element_type=jnp.float32)
+    d = jax.nn.relu(d + per_ray[:, None, :] + params["dir"]["b"])
+    rgb = _dense(params["static_rgb"], d.astype(dt), dt)
+    if cfg.out_ch == 3:
+        rgb = jax.nn.sigmoid(rgb)
+    static = jnp.concatenate([rgb, static_sigma], -1)
+    if not output_transient:
+        return static
+
+    wt = params["trans_0"]["w"]
+    t_per_ray = jnp.dot(t_emb.astype(dt), wt[W:].astype(dt),
+                        preferred_element_type=jnp.float32)
+    t = jnp.dot(xyz_final.astype(dt), wt[:W].astype(dt),
+                preferred_element_type=jnp.float32)
+    t = jax.nn.relu(t + t_per_ray[:, None, :] + params["trans_0"]["b"])
+    for i in (1, 2, 3):
+        t = jax.nn.relu(_dense(params[f"trans_{i}"], t.astype(dt), dt))
+    t_sigma = jax.nn.softplus(_dense(params["trans_sigma"], t, dt))
+    t_rgb = _dense(params["trans_rgb"], t, dt)
+    if cfg.out_ch == 3:
+        t_rgb = jax.nn.sigmoid(t_rgb)
+    t_beta = jax.nn.softplus(_dense(params["trans_beta"], t, dt))
+    return jnp.concatenate([static, t_rgb, t_sigma, t_beta], -1)
+
+
 # ---------------------------------------------------------------------------
 # histogram embeddings
 # ---------------------------------------------------------------------------

@@ -53,7 +53,10 @@ def sample_pdf(bins, weights, N_importance: int, rng=None, det: bool = False):
     else:
         u = jax.random.uniform(rng, cdf.shape[:-1] + (N_importance,))
 
-    inds = jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(cdf, u)
+    # batched searchsorted(right): count of cdf entries <= u. A broadcast
+    # comparison (N, N_importance, M+1) is pure VPU work and orders of
+    # magnitude faster on TPU than a vmapped binary search.
+    inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1).astype(jnp.int32)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 

@@ -27,6 +27,7 @@ from dfnet_tpu.models.nerfw import (
     NeRFWConfig,
     lookup_hist_embedding,
     nerfw_apply,
+    nerfw_apply_rays,
 )
 from dfnet_tpu.render.rays import get_rays
 from dfnet_tpu.render.sampling import sample_pdf, stratified_z_vals
@@ -195,21 +196,18 @@ def render_rays(
                                settings.lindisp, settings.perturb)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
-    xyz_emb = model.embed_xyz(pts.reshape(-1, 3), epoch)
+    xyz_emb = model.embed_xyz(pts, epoch)                 # (N, S, in_xyz)
     cfgc = model.cfg_coarse
     out: Dict = {}
 
     if settings.test_time:
         # coarse pass is sigma-only at test time (nerfw.py:37-46)
-        raw_c = nerfw_apply(params["coarse"], cfgc, xyz_emb, sigma_only=True)
-        raw_c = raw_c.reshape(n, settings.N_samples, 1)
+        raw_c = nerfw_apply_rays(params["coarse"], cfgc, xyz_emb, sigma_only=True)
         comp_c = composite_nerfw(raw_c, z_vals, output_transient=False, sigma_only=True)
     else:
-        dir_emb = model.embed_dir(viewdirs, epoch)
-        dir_emb_s = jnp.repeat(dir_emb, settings.N_samples, axis=0)
-        raw_c = nerfw_apply(params["coarse"], cfgc, xyz_emb, dir_emb_s,
-                            output_transient=False)
-        raw_c = raw_c.reshape(n, settings.N_samples, cfgc.out_ch + 1)
+        dir_emb = model.embed_dir(viewdirs, epoch)        # (N, in_dir)
+        raw_c = nerfw_apply_rays(params["coarse"], cfgc, xyz_emb, dir_emb,
+                                 output_transient=False)
         noise = None
         if settings.raw_noise_std > 0.0 and k_noise is not None:
             noise = settings.raw_noise_std * jax.random.normal(
@@ -227,21 +225,16 @@ def render_rays(
                                settings.N_importance, k_pdf,
                                det=(settings.perturb == 0.0))
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
-        n_all = settings.N_samples + settings.N_importance
         pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
 
         cfgf = model.cfg_fine
-        xyz_f = model.embed_xyz(pts_f.reshape(-1, 3), epoch)
+        xyz_f = model.embed_xyz(pts_f, epoch)             # (N, S+I, in_xyz)
         dir_emb = model.embed_dir(viewdirs, epoch)
-        dir_f = jnp.repeat(dir_emb, n_all, axis=0)
         a_emb = lookup_hist_embedding(params["embedding_a"], hist)   # (N, in_a)
         t_emb = lookup_hist_embedding(params["embedding_t"], hist)   # (N, in_t)
-        a_f = jnp.repeat(a_emb, n_all, axis=0)
-        t_f = jnp.repeat(t_emb, n_all, axis=0)
 
-        raw_f = nerfw_apply(params["fine"], cfgf, xyz_f, dir_f, a_f, t_f,
-                            output_transient=True)
-        raw_f = raw_f.reshape(n, n_all, 2 * cfgf.out_ch + 3)
+        raw_f = nerfw_apply_rays(params["fine"], cfgf, xyz_f, dir_emb,
+                                 a_emb, t_emb, output_transient=True)
         comp_f = composite_nerfw(raw_f, z_all, output_transient=True,
                                  beta_min=cfgf.beta_min,
                                  white_bkgd=settings.white_bkgd,

@@ -1,0 +1,186 @@
+"""Stage 1 — NeRF-H training (run_nerf equivalent).
+
+Reference behavior (/root/reference/script/run_nerf.py:32-241):
+per epoch, for every train image: sample N_rand random pixels, render
+through coarse+fine, NerfWLoss, Adam with manual exponential LR decay
+lr = lrate · 0.1^(epoch/(lrate_decay·1000)) (global_step advances per
+epoch), checkpoint every i_weights epochs, render/evaluate every
+i_testset.
+
+TPU-first re-design: ray generation + pixel selection + render + loss +
+Adam update are ONE jitted pure function with static shapes (no
+host↔device ping-pong, no default-tensor-type hacks); the ray batch is
+sharded over the device mesh ('data' axis) and XLA all-reduces grads
+over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from dfnet_tpu.config import Config
+from dfnet_tpu.data.scene import SceneData
+from dfnet_tpu.models.factory import create_nerfh, render_settings
+from dfnet_tpu.models.losses import img2mse, mse2psnr, nerfw_loss, to8b
+from dfnet_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from dfnet_tpu.render.rays import get_rays
+from dfnet_tpu.render.volume import NeRFHModel, RenderSettings, render_image, render_rays
+from dfnet_tpu.training.checkpoints import latest_checkpoint, load_pytree, save_pytree
+
+
+def exp_decayed_lr(cfg: Config, global_step: int) -> float:
+    return cfg.lrate * (0.1 ** (global_step / (cfg.lrate_decay * 1000.0)))
+
+
+class NeRFTrainer:
+    """Owns model/params/optimizer and the jitted step/render functions."""
+
+    def __init__(self, cfg: Config, scene: SceneData, mesh=None,
+                 rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.scene = scene
+        self.mesh = mesh
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.rng_seed)
+        self.rng, key = jax.random.split(rng)
+        self.model, self.params = create_nerfh(cfg, key)
+        self.settings = render_settings(cfg, scene.near, scene.far)
+        self.settings_test = render_settings(cfg, scene.near, scene.far, test=True)
+
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lrate, b1=0.9, b2=0.999)
+        self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0
+
+        self._build_step()
+
+    # ------------------------------------------------------------- step
+    def _build_step(self):
+        cfg, model, settings = self.cfg, self.model, self.settings
+        H, W, focal = self.scene.H, self.scene.W, self.scene.focal
+        n_rand = cfg.N_rand
+        optimizer = self.optimizer
+        mesh = self.mesh
+        shard = data_sharding(mesh) if mesh is not None else None
+
+        def loss_fn(params, rays_o, rays_d, target, hist, rng):
+            out = render_rays(params, model, rays_o, rays_d, hist, settings, rng)
+            losses = nerfw_loss(out, target)
+            loss = sum(losses.values())
+            psnr = mse2psnr(img2mse(out["rgb"], target))
+            return loss, psnr
+
+        def step(params, opt_state, image, pose, hist, rng, lr):
+            k_sel, k_render = jax.random.split(rng)
+            rays_o, rays_d = get_rays(H, W, focal, pose)
+            sel = jax.random.permutation(k_sel, H * W)[:n_rand]
+            rays_o = rays_o.reshape(-1, 3)[sel]
+            rays_d = rays_d.reshape(-1, 3)[sel]
+            target = image.reshape(-1, 3)[sel]
+            hist_b = jnp.broadcast_to(hist[None], (n_rand,) + hist.shape)
+            if shard is not None:
+                rays_o = jax.lax.with_sharding_constraint(rays_o, shard)
+                rays_d = jax.lax.with_sharding_constraint(rays_d, shard)
+                target = jax.lax.with_sharding_constraint(target, shard)
+                hist_b = jax.lax.with_sharding_constraint(hist_b, shard)
+
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rays_o, rays_d, target, hist_b, k_render)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, psnr
+
+        donate = (0, 1) if self.cfg.donate_step else ()
+        self._step = jax.jit(step, donate_argnums=donate)
+
+        def render_one(params, pose, hist):
+            return render_image(params, model, pose, hist, H, W, focal,
+                                self.settings_test, chunk=min(cfg.chunk, H * W))
+
+        self._render = jax.jit(render_one)
+
+    # ------------------------------------------------------------- epochs
+    def train_epoch(self, epoch: int) -> Tuple[float, float]:
+        """One pass over shuffled train images; returns last (loss, psnr)
+        like the reference (run_nerf.py:32-80 returns the final batch's)."""
+        cfg, tr = self.cfg, self.scene.train
+        lr = exp_decayed_lr(cfg, self.global_step)
+        n = len(tr)
+        order = np.random.permutation(n)
+        loss = psnr = None
+        for i in order:
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.opt_state, loss, psnr = self._step(
+                self.params, self.opt_state,
+                jnp.asarray(tr.images[i]), jnp.asarray(tr.poses[i]),
+                jnp.asarray(tr.hists[i]), k, lr)
+        self.global_step += 1
+        return float(loss), float(psnr)
+
+    def render_split(self, split, savedir: Optional[str] = None,
+                     max_images: Optional[int] = None,
+                     stride: int = 1) -> float:
+        """Render a split at test settings; returns mean PSNR
+        (render_path equivalent, rendering.py:403-458)."""
+        psnrs = []
+        idxs = range(0, len(split), stride)
+        if max_images:
+            idxs = list(idxs)[:max_images]
+        for j, i in enumerate(idxs):
+            out = self._render(self.params, jnp.asarray(split.poses[i]),
+                               jnp.asarray(split.hists[i]))
+            rgb = np.asarray(out["rgb"])
+            p = -10.0 * np.log10(np.mean(np.square(rgb - split.images[i])))
+            psnrs.append(p)
+            if savedir:
+                os.makedirs(savedir, exist_ok=True)
+                import imageio.v2 as imageio
+
+                imageio.imwrite(osp.join(savedir, f"{j:03d}.png"), to8b(rgb))
+                imageio.imwrite(osp.join(savedir, f"{j:03d}_GT.png"),
+                                to8b(split.images[i]))
+        return float(np.mean(psnrs))
+
+    # ------------------------------------------------------------- ckpt
+    def expdir(self) -> str:
+        return osp.join(self.cfg.basedir, self.cfg.expname)
+
+    def save(self, epoch: int):
+        path = osp.join(self.expdir(), f"{epoch:06d}.npz")
+        save_pytree(path, {"params": self.params, "opt_state": self.opt_state},
+                    global_step=self.global_step)
+        return path
+
+    def try_resume(self) -> int:
+        """Load the newest checkpoint in the expdir (or cfg.ft_path)."""
+        path = self.cfg.ft_path
+        if not path or path == "None":
+            path = latest_checkpoint(self.expdir())
+        if not path or self.cfg.no_reload or not osp.exists(path):
+            return 0
+        tree, scalars = load_pytree(path)
+        self.params = tree["params"]
+        if "opt_state" in tree:
+            # saved state round-trips as plain tuples/dicts; re-hang the
+            # leaves on the live optax state's treedef
+            leaves = jax.tree.leaves(tree["opt_state"])
+            ref_leaves, treedef = jax.tree.flatten(self.opt_state)
+            if len(leaves) == len(ref_leaves):
+                self.opt_state = jax.tree.unflatten(treedef, leaves)
+        self.global_step = int(scalars.get("global_step", 0))
+        print(f"[nerf] resumed from {path} at step {self.global_step}")
+        return self.global_step
+
+    def load_params(self, path: str):
+        tree, scalars = load_pytree(path)
+        self.params = tree["params"] if "params" in tree else tree
+        self.global_step = int(scalars.get("global_step", 0))

@@ -74,6 +74,31 @@ def test_nerfw_apply_shapes():
     assert (o[:, 3] > 0).all() and (o[:, 7] > 0).all() and (o[:, 8] > 0).all()
 
 
+def test_apply_rays_matches_flat_apply():
+    from dfnet_tpu.models.nerfw import nerfw_apply_rays
+    key = jax.random.PRNGKey(2)
+    cfg_f = NeRFWConfig(D=8, W=64, in_xyz=63, in_dir=27, in_a=50, in_t=20,
+                        encode_appearance=True, encode_transient=True)
+    pf = init_nerfw_params(key, cfg_f)
+    n, s = 4, 6
+    ks = jax.random.split(key, 4)
+    xyz = jax.random.normal(ks[0], (n, s, 63))
+    d = jax.random.normal(ks[1], (n, 27))
+    a = jax.random.normal(ks[2], (n, 50))
+    t = jax.random.normal(ks[3], (n, 20))
+    # flat path broadcasts per-ray inputs to every sample
+    flat = nerfw_apply(
+        pf, cfg_f, xyz.reshape(-1, 63),
+        jnp.repeat(d, s, 0), jnp.repeat(a, s, 0), jnp.repeat(t, s, 0),
+        output_transient=True).reshape(n, s, 9)
+    rays = nerfw_apply_rays(pf, cfg_f, xyz, d, a, t, output_transient=True)
+    np.testing.assert_allclose(np.asarray(rays), np.asarray(flat), atol=2e-5)
+    # sigma_only agreement
+    flat_s = nerfw_apply(pf, cfg_f, xyz.reshape(-1, 63), sigma_only=True).reshape(n, s, 1)
+    rays_s = nerfw_apply_rays(pf, cfg_f, xyz, sigma_only=True)
+    np.testing.assert_allclose(np.asarray(rays_s), np.asarray(flat_s), atol=2e-5)
+
+
 def test_hist_embedding_lookup():
     table = jnp.arange(20, dtype=jnp.float32).reshape(10, 2)  # vocab 10, dim 2
     hist = jnp.array([[0, 3, 9]])

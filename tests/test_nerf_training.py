@@ -1,0 +1,95 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfnet_tpu.config import parse_args
+from dfnet_tpu.data.synthetic import make_synthetic_scene
+from dfnet_tpu.parallel.mesh import make_mesh
+from dfnet_tpu.training.nerf_trainer import NeRFTrainer, exp_decayed_lr
+from dfnet_tpu.training.checkpoints import save_pytree, load_pytree, latest_checkpoint
+
+
+TINY = [
+    "--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+    "--netwidth_fine", "32", "--N_samples", "12", "--N_importance", "12",
+    "--N_rand", "256", "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+]
+
+
+def make_trainer(tmp_path=None, mesh=None, extra=()):
+    argv = TINY + list(extra)
+    if tmp_path is not None:
+        argv += ["--basedir", str(tmp_path), "--expname", "t"]
+    cfg = parse_args(argv, stage="nerf")
+    scene = make_synthetic_scene(n_train=6, n_val=2, H=16, W=16, seed=0)
+    return NeRFTrainer(cfg, scene, mesh=mesh), scene
+
+
+def test_lr_decay_formula():
+    cfg = parse_args(["--lrate", "5e-4", "--lrate_decay", "2"], stage="nerf")
+    assert exp_decayed_lr(cfg, 0) == pytest.approx(5e-4)
+    assert exp_decayed_lr(cfg, 2000) == pytest.approx(5e-5)
+
+
+def test_training_reduces_loss_and_improves_psnr():
+    trainer, scene = make_trainer()
+    first_loss, first_psnr = trainer.train_epoch(0)
+    for e in range(1, 15):
+        loss, psnr = trainer.train_epoch(e)
+    assert np.isfinite(loss)
+    assert loss < first_loss
+    assert psnr > first_psnr
+    assert psnr > 10.0  # synthetic blob scene is easy
+
+
+def test_render_split_psnr(tmp_path):
+    trainer, scene = make_trainer(tmp_path)
+    for e in range(10):
+        trainer.train_epoch(e)
+    psnr = trainer.render_split(scene.val, savedir=str(tmp_path / "renders"))
+    assert psnr > 10.0
+    assert (tmp_path / "renders" / "000.png").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer, scene = make_trainer(tmp_path)
+    trainer.train_epoch(0)
+    path = trainer.save(1)
+    assert latest_checkpoint(str(tmp_path / "t")) == path
+
+    trainer2, _ = make_trainer(tmp_path)
+    start = trainer2.try_resume()
+    assert start == trainer.global_step
+    a = jax.tree.leaves(trainer.params)
+    b = jax.tree.leaves(trainer2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # resumed trainer can keep stepping
+    loss, psnr = trainer2.train_epoch(1)
+    assert np.isfinite(loss)
+
+
+def test_pytree_io_none_and_tuples(tmp_path):
+    tree = {"a": np.arange(3), "b": (np.ones(2), None, {"c": np.zeros(1)})}
+    p = str(tmp_path / "x.npz")
+    save_pytree(p, tree, step=7)
+    back, scalars = load_pytree(p)
+    assert int(scalars["step"]) == 7
+    np.testing.assert_array_equal(back["a"], np.arange(3))
+    assert back["b"][1] is None
+    np.testing.assert_array_equal(back["b"][0], np.ones(2))
+
+
+def test_sharded_train_step_runs_on_mesh():
+    mesh = make_mesh(8)
+    trainer, scene = make_trainer(mesh=mesh)
+    loss, psnr = trainer.train_epoch(0)
+    assert np.isfinite(loss) and np.isfinite(psnr)
+    # same init without mesh gives the same first-epoch loss trajectory
+    trainer2, _ = make_trainer(mesh=None)
+    np.random.seed(0)
+    trainer.global_step = 0
+    # (not bitwise comparable due to reduction orders; just sanity range)
+    loss2, _ = trainer2.train_epoch(0)
+    assert abs(loss - loss2) < max(1.0, 0.5 * loss2 + 0.5)
