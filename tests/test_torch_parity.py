@@ -1,0 +1,215 @@
+"""Golden parity vs PyTorch: the converters + JAX forward passes must
+reproduce reference-architecture outputs numerically. The torch modules
+here are built from the architecture spec (SURVEY.md §2/L2-L3), then
+their weights are converted with dfnet_tpu.convert and compared."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from dfnet_tpu.convert import (
+    nerfw_state_dict_to_params,
+    vgg16_state_dict_to_params,
+)
+from dfnet_tpu.models.nerfw import NeRFWConfig, nerfw_apply
+from dfnet_tpu.models.vgg import VGG16_LAYOUT, vgg16_features
+from dfnet_tpu.ops.resize import resize_bicubic, resize_bilinear_align_corners
+
+torch.manual_seed(0)
+
+
+# ------------------------------------------------------------------ resize
+
+def test_bilinear_align_corners_matches_torch():
+    x = torch.rand(2, 5, 7, 9)
+    ref = F.interpolate(x, size=(11, 13), mode="bilinear", align_corners=True)
+    ours = resize_bilinear_align_corners(
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()), 11, 13)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_bicubic_matches_torch():
+    x = torch.rand(1, 3, 6, 8)
+    ref = F.interpolate(x, size=(24, 32), mode="bicubic", align_corners=False)
+    ours = resize_bicubic(jnp.asarray(x.permute(0, 2, 3, 1).numpy()), 24, 32)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+# ------------------------------------------------------------------ VGG16
+
+def _torch_vgg16_features():
+    layers = []
+    cin = 3
+    for e in VGG16_LAYOUT:
+        if e == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(cin, e[1], 3, padding=1))
+            layers.append(nn.ReLU(inplace=False))
+            cin = e[1]
+    return nn.Sequential(*layers)
+
+
+def test_vgg16_features_and_taps_match_torch():
+    tnet = _torch_vgg16_features().eval()
+    sd = tnet.state_dict()
+    params = vgg16_state_dict_to_params(sd, prefix="")
+
+    x = torch.rand(1, 3, 32, 48)
+    with torch.no_grad():
+        # taps at conv outputs PRE-ReLU (torch sequential conv indices)
+        tap_idx = {"conv1_2": 2, "conv3_3": 14, "conv5_3": 28}
+        feats = {}
+        h = x
+        for i, layer in enumerate(tnet):
+            h = layer(h)
+            for name, idx in tap_idx.items():
+                if i == idx:
+                    feats[name] = h.clone()
+        final_t = h
+
+    final_j, taps_j = vgg16_features(
+        jax.tree.map(jnp.asarray, params),
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        taps=("conv1_2", "conv3_3", "conv5_3"))
+    np.testing.assert_allclose(
+        np.asarray(final_j), final_t.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+    for got, name in zip(taps_j, ("conv1_2", "conv3_3", "conv5_3")):
+        np.testing.assert_allclose(
+            np.asarray(got), feats[name].permute(0, 2, 3, 1).numpy(), atol=2e-4,
+            err_msg=name)
+
+
+# ------------------------------------------------------------------ DFNet full
+
+class _TorchDFNet(nn.Module):
+    """Reference-architecture DFNet (random init) for parity testing."""
+
+    def __init__(self, levels=("conv1_2", "conv3_3", "conv5_3"), out_dim=128):
+        super().__init__()
+        self.encoder = _torch_vgg16_features()
+        chans = {name: c for name, c in [e for e in VGG16_LAYOUT if e != "M"]}
+        self.adaptation_layers = nn.Module()
+        for i, name in enumerate(levels):
+            layer = nn.Sequential(
+                nn.Conv2d(chans[name], 64, 1), nn.ReLU(),
+                nn.Conv2d(64, out_dim, 5, padding=2), nn.BatchNorm2d(out_dim))
+            self.adaptation_layers.add_module(f"adapt_layer_{i}", layer)
+        self.fc_pose = nn.Linear(512, 12)
+        self.levels = levels
+        self.tap_idx = [ {"conv1_2":2,"conv3_3":14,"conv5_3":28}[n] for n in levels ]
+
+    def forward(self, x, upsample=(24, 32)):
+        mean = torch.tensor([0.485, 0.456, 0.406])
+        std = torch.tensor([0.229, 0.224, 0.225])
+        x = (x - mean[:, None, None]) / std[:, None, None]
+        feats = []
+        h = x
+        for i, layer in enumerate(self.encoder):
+            h = layer(h)
+            if i in self.tap_idx:
+                feats.append(h.clone())
+        feats = [getattr(self.adaptation_layers, f"adapt_layer_{i}")(f)
+                 for i, f in enumerate(feats)]
+        feats = [nn.UpsamplingBilinear2d(size=upsample)(f) for f in feats]
+        pose = self.fc_pose(F.adaptive_avg_pool2d(h, 1).flatten(1))
+        return torch.stack(feats), pose
+
+
+def test_dfnet_forward_matches_torch_replica():
+    from dfnet_tpu.convert import convert_dfnet_checkpoint
+    from dfnet_tpu.models.dfnet import DFNetConfig, dfnet_forward
+
+    tnet = _TorchDFNet().eval()
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.pt")
+        torch.save(tnet.state_dict(), path)
+        params, state = convert_dfnet_checkpoint(path)
+
+    x = torch.rand(2, 3, 64, 96)
+    with torch.no_grad():
+        feats_t, pose_t = tnet(x, upsample=(32, 48))
+
+    feats_j, pose_j, _ = dfnet_forward(
+        jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state),
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        DFNetConfig(), return_feature=True, is_single_stream=True,
+        upsample_h=32, upsample_w=48, train_bn=False)
+
+    np.testing.assert_allclose(np.asarray(pose_j), pose_t.numpy(), atol=2e-4)
+    # ours: (L,B,H,W,C) vs torch (L,B,C,H,W)
+    np.testing.assert_allclose(
+        np.asarray(feats_j[0]).transpose(0, 1, 4, 2, 3), feats_t.numpy(), atol=2e-3)
+
+
+# ------------------------------------------------------------------ NeRF-W MLP
+
+class _TorchNeRFW(nn.Module):
+    """Reference-architecture NeRFW fine model (nerfw.py:220-354)."""
+
+    def __init__(self, D=4, W=32, in_xyz=63, in_dir=27, in_a=10, in_t=6):
+        super().__init__()
+        self.D, self.W, self.skips = D, W, [2]
+        self.in_xyz, self.in_dir, self.in_a, self.in_t = in_xyz, in_dir, in_a, in_t
+        for i in range(D):
+            cin = in_xyz if i == 0 else (W + in_xyz if i in self.skips else W)
+            setattr(self, f"xyz_encoding_{i+1}",
+                    nn.Sequential(nn.Linear(cin, W), nn.ReLU(True)))
+        self.xyz_encoding_final = nn.Linear(W, W)
+        self.dir_encoding = nn.Sequential(
+            nn.Linear(W + in_dir + in_a, W // 2), nn.ReLU(True))
+        self.static_sigma = nn.Sequential(nn.Linear(W, 1), nn.Softplus())
+        self.static_rgb = nn.Sequential(nn.Linear(W // 2, 3), nn.Sigmoid())
+        self.transient_encoding = nn.Sequential(
+            nn.Linear(W + in_t, W // 2), nn.ReLU(True),
+            nn.Linear(W // 2, W // 2), nn.ReLU(True),
+            nn.Linear(W // 2, W // 2), nn.ReLU(True),
+            nn.Linear(W // 2, W // 2), nn.ReLU(True))
+        self.transient_sigma = nn.Sequential(nn.Linear(W // 2, 1), nn.Softplus())
+        self.transient_rgb = nn.Sequential(nn.Linear(W // 2, 3), nn.Sigmoid())
+        self.transient_beta = nn.Sequential(nn.Linear(W // 2, 1), nn.Softplus())
+
+    def forward(self, xyz, d, a, t):
+        h = xyz
+        for i in range(self.D):
+            if i in self.skips:
+                h = torch.cat([xyz, h], -1)
+            h = getattr(self, f"xyz_encoding_{i+1}")(h)
+        sigma = self.static_sigma(h)
+        hf = self.xyz_encoding_final(h)
+        dd = self.dir_encoding(torch.cat([hf, d, a], -1))
+        rgb = self.static_rgb(dd)
+        tt = self.transient_encoding(torch.cat([hf, t], -1))
+        return torch.cat([rgb, sigma, self.transient_rgb(tt),
+                          self.transient_sigma(tt), self.transient_beta(tt)], -1)
+
+
+def test_nerfw_mlp_matches_torch_replica():
+    tnet = _TorchNeRFW().eval()
+    sd = tnet.state_dict()
+    params = nerfw_state_dict_to_params(sd, D=4, encode_transient=True)
+    cfg = NeRFWConfig(D=4, W=32, skips=(2,), in_xyz=63, in_dir=27, in_a=10,
+                      in_t=6, encode_appearance=True, encode_transient=True)
+
+    n = 33
+    xyz = torch.randn(n, 63)
+    d = torch.randn(n, 27)
+    a = torch.randn(n, 10)
+    t = torch.randn(n, 6)
+    with torch.no_grad():
+        ref = tnet(xyz, d, a, t).numpy()
+    ours = nerfw_apply(
+        jax.tree.map(jnp.asarray, params), cfg,
+        jnp.asarray(xyz.numpy()), jnp.asarray(d.numpy()),
+        jnp.asarray(a.numpy()), jnp.asarray(t.numpy()), output_transient=True)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
