@@ -1,0 +1,232 @@
+"""Stage 2 — DFNet training with Random View Synthesis (run_feature
+equivalent).
+
+Reference behavior (/root/reference/script/run_feature.py:102-422):
+  - pre-render every train view once through the frozen NeRF
+    (render_nerfw_imgs);
+  - every rvs_refresh_rate epochs, perturb each train pose
+    (rot ±rvs_rotation deg, trans ±rvs_trans, bbox-clamped to the train
+    camera volume ±d_max) and render the virtual views;
+  - per batch: siamese DFNet on [GT images; NeRF renders] → pose MSE on
+    doubled GT poses + triplet feature loss (hard-negative-mining-plus)
+    + pose MSE of the RVS views, weighted by combine_loss_w;
+  - val pose-MSE per epoch → ReduceLROnPlateau + EarlyStopping;
+  - median pose error (get_error_in_q) every i_eval epochs.
+
+TPU-first: the whole siamese forward+backward+Adam update is one jitted
+step over an NHWC image batch; BN runs in batch-stat mode unless
+freezeBN (then eval-mode stats + masked-out scale/bias updates).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dfnet_tpu.config import Config
+from dfnet_tpu.data.scene import SceneData
+from dfnet_tpu.models.dfnet import DFNetConfig, dfnet_forward, init_dfnet_params
+from dfnet_tpu.pose import perturb_single_render_pose
+from dfnet_tpu.training.callbacks import EarlyStopping, ReduceLROnPlateau
+from dfnet_tpu.training.checkpoints import load_pytree
+from dfnet_tpu.training.eval_pose import get_error_in_q
+from dfnet_tpu.training.feature_losses import (
+    cosine_feature_loss,
+    feature_mse,
+    pose_loss,
+    triplet_loss_hard_negative_mining_plus,
+)
+from dfnet_tpu.training.nerf_renderer import FrozenNeRF
+
+
+def load_dfnet_params(path: str, cfg_model: DFNetConfig, key=None):
+    """Load DFNet weights from ours (.npz) or the reference (.pt)."""
+    if path.endswith(".pt"):
+        from dfnet_tpu.convert import convert_dfnet_checkpoint
+
+        params, state = convert_dfnet_checkpoint(path)
+    else:
+        tree, _ = load_pytree(path)
+        params, state = tree["params"], tree["state"]
+    return (jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state))
+
+
+class FeatureTrainer:
+    def __init__(self, cfg: Config, scene: SceneData, nerf: Optional[FrozenNeRF],
+                 rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.scene = scene
+        self.nerf = nerf
+        self.model_cfg = DFNetConfig.small() if cfg.DFNet_s else DFNetConfig()
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.rng_seed)
+        self.rng, key = jax.random.split(rng)
+        self.params, self.state = init_dfnet_params(key, self.model_cfg)
+        if cfg.vgg_init_path:
+            from dfnet_tpu.convert import convert_vgg16_imagenet
+
+            self.params["encoder"] = jax.tree.map(
+                jnp.asarray, convert_vgg16_imagenet(cfg.vgg_init_path))
+            print(f"[dfnet] ImageNet VGG16 init from {cfg.vgg_init_path}")
+        if cfg.pretrain_model_path:
+            self.params, self.state = load_dfnet_params(
+                cfg.pretrain_model_path, self.model_cfg)
+            print(f"[dfnet] loaded pretrained {cfg.pretrain_model_path}")
+
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.learning_rate)
+        self.opt_state = self.optimizer.init(self.params)
+        self.scheduler = ReduceLROnPlateau(
+            cfg.learning_rate, factor=0.95, patience=cfg.patience[1])
+        self.early_stopping = EarlyStopping(
+            osp.join(cfg.basedir, cfg.model_name or "dfnet"),
+            patience=cfg.patience[0], val_on_psnr=cfg.val_on_psnr)
+        self._build()
+
+    # ------------------------------------------------------------- jit fns
+    def _build(self):
+        cfg, mcfg = self.cfg, self.model_cfg
+        H, W = self.scene.H, self.scene.W
+        train_bn = not cfg.freezeBN
+        w = cfg.combine_loss_w
+        use_triplet = cfg.tripletloss
+        use_rvs = cfg.random_view_synthesis
+        optimizer = self.optimizer
+
+        def siamese_losses(params, state, targets, rgbs, poses12):
+            x = jnp.concatenate([targets, rgbs], 0)
+            feats, predict, new_state = dfnet_forward(
+                params, state, x, mcfg, return_feature=True,
+                is_single_stream=False, upsample_h=H, upsample_w=W,
+                train_bn=train_bn)
+            f_t, f_r = feats
+            pose_gt = jnp.concatenate([poses12, poses12], 0)
+            loss_pose = pose_loss(predict, pose_gt)
+            if use_triplet:
+                loss_f = triplet_loss_hard_negative_mining_plus(
+                    f_r, f_t, margin=cfg.triplet_margin)
+            else:
+                loss_f = feature_mse(f_r, f_t)
+            return loss_pose, loss_f, new_state
+
+        def loss_fn(params, state, targets, rgbs, poses12,
+                    rgb_perturb, pose_perturb12):
+            loss_pose, loss_f, new_state = siamese_losses(
+                params, state, targets, rgbs, poses12)
+            if use_rvs:
+                _, virtue_pose, _ = dfnet_forward(
+                    params, new_state, rgb_perturb, mcfg, return_feature=False,
+                    upsample_h=H, upsample_w=W, train_bn=False)
+                loss_rvs = pose_loss(virtue_pose, pose_perturb12)
+                loss = w[0] * loss_pose + w[1] * loss_f + w[2] * loss_rvs
+            elif cfg.poselossonly:
+                loss = loss_pose
+            elif cfg.featurelossonly:
+                loss = loss_f
+            else:
+                loss = loss_pose + loss_f
+            return loss, new_state
+
+        def step(params, state, opt_state, targets, rgbs, poses12,
+                 rgb_perturb, pose_perturb12, lr):
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, targets, rgbs, poses12, rgb_perturb, pose_perturb12)
+            if cfg.freezeBN:
+                # freeze_bn_layer parity: no grad on BN scale/bias
+                for lvl in grads["adapt"].values():
+                    lvl["bn_scale"] = jnp.zeros_like(lvl["bn_scale"])
+                    lvl["bn_bias"] = jnp.zeros_like(lvl["bn_bias"])
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state, opt_state, loss
+
+        self._step = jax.jit(step, donate_argnums=(0, 2))
+
+        def predict(params, state, images):
+            _, pose, _ = dfnet_forward(params, state, images, mcfg,
+                                       return_feature=False,
+                                       upsample_h=H, upsample_w=W, train_bn=False)
+            return pose
+
+        self._predict = jax.jit(predict)
+
+    # ------------------------------------------------------------- data prep
+    def prerender_train_views(self) -> np.ndarray:
+        tr = self.scene.train
+        return self.nerf.prerender_views(tr.poses, tr.hists)
+
+    def rvs_refresh(self, rng: np.random.Generator
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Perturb every train pose and render the virtual views
+        (run_feature.py:358-382)."""
+        cfg, tr = self.cfg, self.scene.train
+        poses = tr.poses
+        b_min = poses[:, :3, 3].min(0) - cfg.d_max
+        b_max = poses[:, :3, 3].max(0) + cfg.d_max
+        perturbed = np.stack([
+            perturb_single_render_pose(p, cfg.rvs_trans, cfg.rvs_rotation, rng)
+            for p in poses])
+        perturbed[:, :3, 3] = np.clip(perturbed[:, :3, 3], b_min, b_max)
+        perturbed = perturbed.astype(np.float32)
+        print("renders RVS...")
+        virtual = self.nerf.prerender_views(perturbed, tr.hists, log_every=0)
+        return perturbed, virtual
+
+    # ------------------------------------------------------------- epochs
+    def train_epoch(self, targets, rgbs, virtue_view, poses_perturb,
+                    rng: np.random.Generator) -> float:
+        cfg, tr = self.cfg, self.scene.train
+        n = len(tr)
+        b = cfg.featurenet_batch_size
+        order = rng.permutation(n)
+        lr = self.scheduler.lr
+        losses = []
+        dummy = jnp.zeros((b, self.scene.H, self.scene.W, 3), jnp.float32)
+        for i in range(0, n - b + 1, b):
+            idx = order[i:i + b]
+            poses12 = jnp.asarray(tr.poses[idx].reshape(b, 12))
+            if cfg.random_view_synthesis:
+                rp = jnp.asarray(virtue_view[idx])
+                pp = jnp.asarray(poses_perturb[idx].reshape(b, 12))
+            else:
+                rp, pp = dummy, jnp.zeros((b, 12), jnp.float32)
+            self.params, self.state, self.opt_state, loss = self._step(
+                self.params, self.state, self.opt_state,
+                jnp.asarray(targets[idx]), jnp.asarray(rgbs[idx]),
+                poses12, rp, pp, lr)
+            losses.append(float(loss))
+        return float(np.mean(losses))
+
+    def validate(self) -> float:
+        """Val pose MSE (run_feature.py:389-399)."""
+        val = self.scene.val
+        b = max(self.cfg.val_batch_size, 1)
+        losses = []
+        for i in range(0, len(val), b):
+            imgs = val.images[i:i + b]
+            pad = b - imgs.shape[0]
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+            pred = np.asarray(self._predict(self.params, self.state,
+                                            jnp.asarray(imgs)))
+            pred = pred[: b - pad] if pad else pred
+            gt = val.poses[i:i + b].reshape(pred.shape[0], 12)
+            losses.append(np.mean((pred - gt) ** 2))
+        return float(np.mean(losses))
+
+    def eval_median_error(self, split=None):
+        split = split if split is not None else self.scene.val
+        apply_fn = lambda imgs: self._predict(self.params, self.state, imgs)
+        return get_error_in_q(apply_fn, split)
+
+    # ------------------------------------------------------------- persistence
+    def checkpoint_tree(self):
+        return {"params": self.params, "state": self.state}
+
+    def load(self, path: str):
+        self.params, self.state = load_dfnet_params(path, self.model_cfg)

@@ -1,0 +1,115 @@
+"""FrozenNeRF: the trained NeRF-H as a differentiable render service for
+stages 2/3.
+
+Wraps (params, model, settings) with the world rescale applied to
+APR-frame poses (fix_coord_supp equivalent, reference:
+/root/reference/script/dm/direct_pose_model.py:147-167) and the
+tinyimg render-at-1/tinyscale-then-bicubic-upsample path (reference:
+script/feature/misc.py:230-237, direct_feature_matching.py:341-348).
+The whole pose→rays→render→upsample chain is one jitted function and is
+differentiable w.r.t. the pose (stage 3's core requirement).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfnet_tpu.config import Config
+from dfnet_tpu.models.factory import create_nerfh, render_settings
+from dfnet_tpu.ops.resize import resize_bicubic
+from dfnet_tpu.pose import rescale_poses_to_nerf
+from dfnet_tpu.render.volume import NeRFHModel, render_image
+from dfnet_tpu.training.checkpoints import latest_checkpoint, load_pytree
+
+
+class FrozenNeRF:
+    def __init__(self, cfg: Config, hwf, near: float, far: float,
+                 world_setup: Dict, params: Optional[Dict] = None,
+                 model: Optional[NeRFHModel] = None):
+        self.cfg = cfg
+        self.H, self.W = int(hwf[0]), int(hwf[1])
+        self.focal = float(hwf[2])
+        self.world_setup = world_setup
+        if model is None:
+            model, init_params = create_nerfh(cfg, jax.random.PRNGKey(cfg.rng_seed))
+            params = params if params is not None else init_params
+        self.model = model
+        self.params = jax.lax.stop_gradient(params)
+        self.settings = render_settings(cfg, near, far, test=True)
+        self._build()
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_experiment(cls, cfg: Config, hwf, near, far, world_setup) -> "FrozenNeRF":
+        """Load the latest stage-1 checkpoint from <basedir>/<expname>
+        (create_nerf auto-reload parity, nerfw.py:452-472). Also accepts
+        reference .tar checkpoints via the converter."""
+        obj = cls(cfg, hwf, near, far, world_setup)
+        path = cfg.ft_path
+        if not path or path == "None":
+            expdir = osp.join(cfg.basedir, cfg.expname)
+            path = latest_checkpoint(expdir)
+            if path is None:
+                path = latest_checkpoint(expdir, pattern=r"^(\d+)\.tar$")
+        if path and osp.exists(path) and not cfg.no_reload:
+            obj.load(path)
+        else:
+            print("[FrozenNeRF] WARNING: no NeRF checkpoint found — random weights")
+        return obj
+
+    def load(self, path: str):
+        if path.endswith(".tar"):
+            from dfnet_tpu.convert import convert_nerf_checkpoint
+
+            params, _ = convert_nerf_checkpoint(path, D=self.cfg.netdepth)
+        else:
+            tree, _ = load_pytree(path)
+            params = tree["params"] if "params" in tree else tree
+        self.params = jax.tree.map(jnp.asarray, params)
+        print(f"[FrozenNeRF] loaded {path}")
+
+    # ------------------------------------------------------------- render
+    def _build(self):
+        cfg, model, settings = self.cfg, self.model, self.settings
+        H, W, focal = self.H, self.W, self.focal
+        ws = self.world_setup
+        tiny = cfg.tinyimg
+        ts = cfg.tinyscale if tiny else 1.0
+        rh, rw = (int(H // ts), int(W // ts)) if tiny else (H, W)
+        rf = focal / ts if tiny else focal
+        chunk = min(cfg.chunk, rh * rw)
+
+        def render_at_pose(params, pose_apr, hist):
+            """pose_apr: (3,4) in the APR (metric, centered) frame."""
+            pose_nerf = rescale_poses_to_nerf(
+                pose_apr, ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
+            out = render_image(params, model, pose_nerf, hist, rh, rw, rf,
+                               settings, chunk=chunk)
+            rgb = out["rgb"]
+            if tiny:
+                rgb = resize_bicubic(rgb, H, W)
+            return rgb
+
+        self._render_at_pose = jax.jit(render_at_pose)
+        self.render_fn = render_at_pose  # un-jitted, for embedding in larger jits
+
+    def render_at_pose(self, pose_apr, hist) -> jnp.ndarray:
+        """(H, W, 3) rgb at the given APR-frame pose."""
+        return self._render_at_pose(self.params, jnp.asarray(pose_apr),
+                                    jnp.asarray(hist))
+
+    def prerender_views(self, poses: np.ndarray, hists: np.ndarray,
+                        log_every: int = 10) -> np.ndarray:
+        """Render every view (render_nerfw_imgs equivalent,
+        misc.py:203-252). Returns (N, H, W, 3) float32 on host."""
+        outs = []
+        for i in range(poses.shape[0]):
+            if log_every and i % log_every == 0:
+                print(f"renders {i}/total {poses.shape[0]}")
+            outs.append(np.asarray(self.render_at_pose(poses[i], hists[i])))
+        return np.stack(outs).astype(np.float32)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Stage 2 CLI — train/evaluate DFNet (feature extractor + pose regressor).
+
+Drop-in surface for the reference's `python run_feature.py --config
+config_dfnet.txt` (reference: /root/reference/script/run_feature.py).
+`--eval` reports median/mean pose error from a pretrained checkpoint.
+"""
+
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+
+from dfnet_tpu.config import parse_args
+from dfnet_tpu.data.loader import load_scene
+from dfnet_tpu.training.feature_trainer import FeatureTrainer
+from dfnet_tpu.training.nerf_renderer import FrozenNeRF
+
+
+def dump_args(cfg):
+    expdir = osp.join(cfg.basedir, cfg.expname)
+    os.makedirs(expdir, exist_ok=True)
+    with open(osp.join(expdir, "args.txt"), "w") as fh:
+        for k in sorted(vars(cfg)):
+            fh.write(f"{k} = {getattr(cfg, k)}\n")
+
+
+def train(argv=None):
+    cfg = parse_args(argv, stage="feature")
+    if cfg.dataset_type not in ("7Scenes", "Cambridge", "synthetic"):
+        print("Unknown dataset type", cfg.dataset_type, "exiting")
+        return
+    scene = load_scene(cfg, stage="apr")
+    print(f"[run_feature] NEAR FAR {scene.near} {scene.far} "
+          f"train={len(scene.train)} val={len(scene.val)}")
+
+    nerf = None
+    if not cfg.eval:
+        nerf = FrozenNeRF.from_experiment(
+            cfg, scene.hwf, scene.near, scene.far, scene.world_setup)
+    trainer = FeatureTrainer(cfg, scene, nerf)
+
+    if cfg.eval:
+        trainer.eval_median_error(scene.val)
+        return
+
+    dump_args(cfg)
+    targets = scene.train.images
+    rgbs = trainer.prerender_train_views()
+
+    rng = np.random.default_rng(cfg.rng_seed)
+    poses_perturb = virtue_view = None
+    for epoch in range(cfg.epochs + 1):
+        if cfg.random_view_synthesis and epoch % cfg.rvs_refresh_rate == 0:
+            poses_perturb, virtue_view = trainer.rvs_refresh(rng)
+        train_loss = trainer.train_epoch(targets, rgbs, virtue_view,
+                                         poses_perturb, rng)
+        val_loss = trainer.validate()
+        trainer.scheduler.step(val_loss)
+        print(f"At epoch {epoch:6d} : train loss: {train_loss:.4f}, "
+              f"val loss: {val_loss:.4f}")
+        trainer.early_stopping(val_loss, trainer.checkpoint_tree(), epoch=epoch,
+                               save_multiple=(not cfg.no_save_multiple),
+                               save_all=cfg.save_all_ckpt)
+        if trainer.early_stopping.early_stop:
+            print("Early stopping")
+            break
+        if epoch % cfg.i_eval == 0:
+            trainer.eval_median_error(scene.val)
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfnet_tpu.config import parse_args
+from dfnet_tpu.data.synthetic import make_synthetic_scene
+from dfnet_tpu.training.callbacks import EarlyStopping, ReduceLROnPlateau
+from dfnet_tpu.training.feature_losses import (
+    cosine_feature_loss, pose_loss, triplet_loss,
+    triplet_loss_hard_negative_mining, triplet_loss_hard_negative_mining_plus,
+)
+from dfnet_tpu.training.feature_trainer import FeatureTrainer
+from dfnet_tpu.training.nerf_renderer import FrozenNeRF
+
+
+# 48x64 images: VGG16's five 2x2 pools need >=32 on each side
+SCENE = make_synthetic_scene(n_train=8, n_val=4, H=48, W=64, focal=60.0, seed=0)
+
+NERF_TINY = [
+    "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+    "--netwidth_fine", "16", "--N_samples", "6", "--N_importance", "6",
+    "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+    "--tinyimg", "--tinyscale", "4",
+]
+
+
+def make_nerf(cfg_extra=()):
+    cfg = parse_args(NERF_TINY + list(cfg_extra), stage="nerf")
+    return FrozenNeRF(cfg, SCENE.hwf, SCENE.near, SCENE.far, SCENE.world_setup)
+
+
+def feature_cfg(tmp_path, extra=()):
+    return parse_args(NERF_TINY + [
+        "--DFNet", "--featurenet_batch_size", "2", "--tripletloss",
+        "--basedir", str(tmp_path), "--expname", "nerfh",
+        "--model_name", "dfnet",
+    ] + list(extra), stage="feature")
+
+
+# ------------------------------------------------------------------ losses
+
+def test_triplet_losses_zero_when_identical_marginless():
+    f = jnp.ones((1, 4, 8, 8, 16))
+    g = f + 0.0
+    # identical features: d(a,p)=~0, d(a,n)=~0 → loss = margin
+    assert float(triplet_loss(f, g, margin=0.5)) == pytest.approx(0.5, abs=1e-5)
+
+
+def test_triplet_losses_separate_batches():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(1, 4, 6, 6, 8)).astype(np.float32)
+    f1 = jnp.asarray(base)
+    f2 = jnp.asarray(base + 0.01 * rng.normal(size=base.shape).astype(np.float32))
+    # positive is near, rolled negative is far → loss < margin
+    for fn in (triplet_loss, triplet_loss_hard_negative_mining,
+               triplet_loss_hard_negative_mining_plus):
+        val = float(fn(f1, f2, margin=1.0))
+        assert 0.0 <= val < 1.0, fn.__name__
+
+
+def test_cosine_feature_loss_bounds():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    assert float(cosine_feature_loss(a, a)) == pytest.approx(0.0, abs=1e-5)
+    assert float(cosine_feature_loss(a, -a)) == pytest.approx(2.0, abs=1e-5)
+
+
+def test_pose_loss():
+    a = jnp.zeros((2, 12))
+    b = jnp.ones((2, 12)) * 2.0
+    assert float(pose_loss(a, b)) == pytest.approx(4.0)
+
+
+# ------------------------------------------------------------------ callbacks
+
+def test_early_stopping_saves_best_and_stops(tmp_path):
+    es = EarlyStopping(str(tmp_path), patience=2)
+    params = {"w": np.ones(3)}
+    es(1.0, params, epoch=0, save_multiple=True)
+    assert es.is_best_model()
+    es(2.0, params, epoch=1, save_multiple=True)   # worse
+    es(3.0, params, epoch=2, save_multiple=True)   # worse → stop
+    assert es.early_stop
+    assert (tmp_path / "checkpoint-0000-1.0000.npz").exists()
+
+
+def test_early_stopping_psnr_mode(tmp_path):
+    es = EarlyStopping(str(tmp_path), patience=5, val_on_psnr=True)
+    es(0.0, {"w": np.ones(1)}, epoch=0, val_psnr=15.0)
+    es(0.0, {"w": np.ones(1)}, epoch=1, val_psnr=17.0)   # better
+    assert es.best_score == 17.0 and es.counter == 0
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=1)
+    assert s.step(1.0) == 1.0
+    assert s.step(1.0) == 1.0   # bad 1
+    assert s.step(1.0) == 0.5   # bad 2 > patience → cut
+    assert s.step(0.4) == 0.5   # improvement resets
+
+
+# ------------------------------------------------------------------ frozen NeRF
+
+def test_frozen_nerf_render_shapes():
+    nerf = make_nerf()
+    rgb = nerf.render_at_pose(SCENE.train.poses[0], SCENE.train.hists[0])
+    assert rgb.shape == (48, 64, 3)
+    views = nerf.prerender_views(SCENE.train.poses[:2], SCENE.train.hists[:2],
+                                 log_every=0)
+    assert views.shape == (2, 48, 64, 3)
+    assert np.isfinite(views).all()
+
+
+# ------------------------------------------------------------------ stage-2 e2e
+
+def test_feature_trainer_end_to_end(tmp_path):
+    cfg = feature_cfg(tmp_path, ["--random_view_synthesis", "--rvs_refresh_rate", "5",
+                                 "--rvs_trans", "0.1", "--rvs_rotation", "5",
+                                 "--d_max", "0.2"])
+    nerf = make_nerf()
+    trainer = FeatureTrainer(cfg, SCENE, nerf)
+    targets = SCENE.train.images
+    rgbs = trainer.prerender_train_views()
+    rng = np.random.default_rng(0)
+    poses_perturb, virtue_view = trainer.rvs_refresh(rng)
+    assert virtue_view.shape == targets.shape
+
+    l0 = trainer.train_epoch(targets, rgbs, virtue_view, poses_perturb, rng)
+    losses = [l0]
+    for _ in range(3):
+        losses.append(trainer.train_epoch(targets, rgbs, virtue_view,
+                                          poses_perturb, rng))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # learning something
+
+    val = trainer.validate()
+    assert np.isfinite(val)
+    median, mean = trainer.eval_median_error()
+    assert median.shape == (2,) and np.isfinite(median).all()
+
+    # checkpoint via EarlyStopping and reload
+    trainer.early_stopping(val, trainer.checkpoint_tree(), epoch=0,
+                           save_multiple=False)
+    ckpt = tmp_path / "dfnet" / "checkpoint.npz"
+    assert ckpt.exists()
+    trainer2 = FeatureTrainer(cfg.replace(pretrain_model_path=str(ckpt)),
+                              SCENE, nerf)
+    a = jax.tree.leaves(trainer.params)
+    b = jax.tree.leaves(trainer2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_feature_trainer_no_rvs_freezebn(tmp_path):
+    cfg = feature_cfg(tmp_path, ["--freezeBN"])
+    nerf = make_nerf()
+    trainer = FeatureTrainer(cfg, SCENE, nerf)
+    bn_before = np.asarray(trainer.params["adapt"]["0"]["bn_scale"])
+    rgbs = trainer.prerender_train_views()
+    rng = np.random.default_rng(0)
+    loss = trainer.train_epoch(SCENE.train.images, rgbs, None, None, rng)
+    assert np.isfinite(loss)
+    # frozen BN scale unchanged by the update
+    np.testing.assert_array_equal(
+        bn_before, np.asarray(trainer.params["adapt"]["0"]["bn_scale"]))
