@@ -1,0 +1,190 @@
+"""Stage 3 — DFNet_dm direct feature matching (train.py equivalent).
+
+Reference behavior (/root/reference/script/feature/direct_feature_matching.py):
+per image (batch 1): pose model F predicts a pose (optionally
+SVD-projected onto rotations, :88-93); the frozen NeRF renders at that
+pose at quarter resolution, bicubic-upsampled back (:341-348); the
+frozen feature model G extracts siamese features of [real, render]; the
+loss w0·poseMSE + w1·photoMSE + w2·cosineFeature backpropagates THROUGH
+the differentiable volume renderer into the predicted pose and updates
+F only (:358-380). With combine_loss_w=[0,0,1] and finetune_unlabel the
+whole stage is self-supervised (no GT poses consumed).
+
+TPU-first: the entire chain F → rescale → rays → render → upsample → G
+→ losses → grad(F) → Adam is ONE jitted function; per-epoch eval renders
+N_rand random rays at the predicted pose for the val PSNR.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dfnet_tpu.config import Config
+from dfnet_tpu.data.scene import SceneData
+from dfnet_tpu.models.dfnet import DFNetConfig, dfnet_forward
+from dfnet_tpu.models.losses import img2mse, mse2psnr
+from dfnet_tpu.pose import project_rotation_svd, rescale_poses_to_nerf
+from dfnet_tpu.render.rays import get_rays
+from dfnet_tpu.render.volume import render_rays
+from dfnet_tpu.training.callbacks import EarlyStopping
+from dfnet_tpu.training.eval_pose import get_error_in_q
+from dfnet_tpu.training.feature_losses import cosine_feature_loss, pose_loss
+from dfnet_tpu.training.feature_trainer import load_dfnet_params
+from dfnet_tpu.training.nerf_renderer import FrozenNeRF
+
+
+def select_levels_for_loss(feats: jnp.ndarray, levels) -> jnp.ndarray:
+    """(L,B,H,W,C) → (B, L'*C, H*W): select feature levels and flatten,
+    the preprocess_features_for_loss equivalent
+    (direct_feature_matching.py:41-50, channels-first)."""
+    sel = feats[jnp.asarray(levels)]                    # (L',B,H,W,C)
+    L, B, H, W, C = sel.shape
+    sel = jnp.transpose(sel, (1, 0, 4, 2, 3))           # (B,L',C,H,W)
+    return sel.reshape(B, L * C, H * W)
+
+
+class DMTrainer:
+    def __init__(self, cfg: Config, scene: SceneData, nerf: FrozenNeRF,
+                 rng: Optional[jax.Array] = None):
+        assert cfg.pretrain_model_path, "stage 3 requires a pretrained DFNet (--pretrain_model_path)"
+        self.cfg = cfg
+        self.scene = scene
+        self.nerf = nerf
+        self.model_cfg = DFNetConfig.small() if cfg.DFNet_s else DFNetConfig()
+
+        # pose model F (trainable) and feature model G (frozen)
+        self.params, self.state = load_dfnet_params(
+            cfg.pretrain_model_path, self.model_cfg)
+        feat_path = cfg.pretrain_featurenet_path or cfg.pretrain_model_path
+        self.feat_params, self.feat_state = load_dfnet_params(
+            feat_path, self.model_cfg)
+
+        self.optimizer = optax.adam(cfg.learning_rate)
+        self.opt_state = self.optimizer.init(self.params)
+        self.early_stopping = EarlyStopping(
+            osp.join(cfg.basedir, cfg.model_name or "dfnetdm"),
+            patience=cfg.patience[0], val_on_psnr=cfg.val_on_psnr)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.rng_seed)
+        self._build()
+
+    # ------------------------------------------------------------- jit fns
+    def _build(self):
+        cfg, mcfg = self.cfg, self.model_cfg
+        H, W = self.scene.H, self.scene.W
+        w = cfg.combine_loss_w
+        levels = tuple(cfg.feature_matching_lvl)
+        nerf = self.nerf
+        optimizer = self.optimizer
+
+        def predict_pose(params, image):
+            """F forward → (3,4) pose with optional SVD projection."""
+            _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
+                                         return_feature=False,
+                                         upsample_h=H, upsample_w=W)
+            pose = pose12.reshape(1, 3, 4)
+            if cfg.svd_reg:
+                pose = project_rotation_svd(pose)
+            return pose
+
+        def loss_fn(params, nerf_params, feat_params, image, pose_gt12, hist):
+            pose = predict_pose(params, image)
+            rgb = nerf.render_fn(nerf_params, pose[0], hist)      # (H,W,3)
+            x = jnp.stack([image, rgb], 0)                        # [real; render]
+            feats, _, _ = dfnet_forward(
+                feat_params, self.feat_state, x, mcfg, return_feature=True,
+                is_single_stream=False, return_pose=False,
+                upsample_h=H, upsample_w=W)
+            f_t = select_levels_for_loss(feats[0], levels)
+            f_r = select_levels_for_loss(feats[1], levels)
+            feat_l = cosine_feature_loss(f_r[0], f_t[0],
+                                         per_channel=cfg.per_channel)
+            photo_l = img2mse(rgb, image)
+            pose_l = pose_loss(pose.reshape(1, 12), pose_gt12)
+            loss = w[0] * pose_l + w[1] * photo_l + w[2] * feat_l
+            psnr = mse2psnr(photo_l)
+            return loss, psnr
+
+        def step(params, opt_state, image, pose_gt12, hist):
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, nerf.params, self.feat_params, image, pose_gt12, hist)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, psnr
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._predict_pose = jax.jit(predict_pose)
+
+        # --------------------------------------------------------- eval
+        n_rand = cfg.N_rand
+        ws = self.scene.world_setup
+        focal = self.scene.focal
+
+        def eval_one(params, nerf_params, image, pose_gt12, hist, rng):
+            pose = predict_pose(params, image)
+            pose_l = pose_loss(pose.reshape(1, 12), pose_gt12)
+            pose_nerf = rescale_poses_to_nerf(
+                pose[0], ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
+            rays_o, rays_d = get_rays(H, W, focal, pose_nerf)
+            sel = jax.random.permutation(rng, H * W)[:n_rand]
+            out = render_rays(nerf_params, nerf.model,
+                              rays_o.reshape(-1, 3)[sel],
+                              rays_d.reshape(-1, 3)[sel],
+                              jnp.broadcast_to(hist[None], (n_rand,) + hist.shape),
+                              nerf.settings)
+            target = image.reshape(-1, 3)[sel]
+            psnr = mse2psnr(img2mse(out["rgb"], target))
+            return pose_l, psnr
+
+        self._eval_one = jax.jit(eval_one)
+
+        def predict12(params, images):
+            _, pose12, _ = dfnet_forward(params, self.state, images, mcfg,
+                                         return_feature=False,
+                                         upsample_h=H, upsample_w=W)
+            return pose12
+
+        self._predict12 = jax.jit(predict12)
+
+    # ------------------------------------------------------------- epochs
+    def train_epoch(self, rng: np.random.Generator) -> Tuple[float, float]:
+        tr = self.scene.train
+        order = rng.permutation(len(tr))
+        losses, psnrs = [], []
+        for i in order:
+            self.params, self.opt_state, loss, psnr = self._step(
+                self.params, self.opt_state,
+                jnp.asarray(tr.images[i]),
+                jnp.asarray(tr.poses[i].reshape(1, 12)),
+                jnp.asarray(tr.hists[i]))
+            losses.append(float(loss))
+            psnrs.append(float(psnr))
+        return float(np.mean(losses)), float(np.mean(psnrs))
+
+    def eval_epoch(self) -> Tuple[float, float]:
+        """Val pose-MSE + PSNR at the predicted pose
+        (eval_on_epoch equivalent, direct_feature_matching.py:178-233)."""
+        val = self.scene.val
+        losses, psnrs = [], []
+        for i in range(len(val)):
+            self.rng, k = jax.random.split(self.rng)
+            pose_l, psnr = self._eval_one(
+                self.params, self.nerf.params, jnp.asarray(val.images[i]),
+                jnp.asarray(val.poses[i].reshape(1, 12)),
+                jnp.asarray(val.hists[i]), k)
+            losses.append(float(pose_l))
+            psnrs.append(float(psnr))
+        return float(np.mean(losses)), float(np.mean(psnrs))
+
+    def eval_median_error(self, split=None):
+        split = split if split is not None else self.scene.val
+        apply_fn = lambda imgs: self._predict12(self.params, imgs)
+        return get_error_in_q(apply_fn, split)
+
+    def checkpoint_tree(self):
+        return {"params": self.params, "state": self.state}
