@@ -1,0 +1,251 @@
+"""Fused Pallas TPU kernels for the NeRF-H hot loop.
+
+The profile (see bench.py history) shows XLA's render path is
+HBM-bound: every MLP layer round-trips (points × width) activations
+through HBM, and the positional encoding materializes (points × 63)
+inputs. These kernels fuse ray-points → positional encoding → trunk MLP
+→ heads for one ray tile entirely in VMEM: HBM traffic drops to the ray
+inputs (o, d, z, per-ray embeddings) and the raw head outputs
+(9 floats/point), making the pass MXU-bound.
+
+Used on the no-gradient paths (test-time rendering: eval, stage-2/3
+pre-renders, the benchmark). Training and stage-3's differentiable
+render keep the XLA path (autodiff).
+
+Weight packing notes:
+  - matmuls run in bfloat16 with float32 accumulation;
+  - the in-kernel PE emits [xyz, sin(f⊗xyz), cos(f⊗xyz)] grouped
+    frequency-major, so the reference layer-0 rows (interleaved
+    sin/cos per frequency) are permuted once at pack time;
+  - per-ray dense work (viewdir/appearance/transient embeddings) is
+    pre-reduced outside the kernel to two (N_rays, W//2) partials and
+    broadcast across samples in VMEM — computed once per ray, not per
+    sample (see models/nerfw.nerfw_apply_rays for the algebra).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dfnet_tpu.models.embedder import Embedder
+from dfnet_tpu.models.nerfw import NeRFWConfig
+
+RAY_TILE = 16  # rays per kernel program
+
+
+def _pe_matrix(emb: Embedder) -> np.ndarray:
+    """(3, 3*F) matrix M with (pts @ M)[:, j] = pts[:, j % 3] * f[j // 3]."""
+    F = emb.num_freqs
+    M = np.zeros((3, 3 * F), np.float32)
+    for k, f in enumerate(emb.freq_bands):
+        for c in range(3):
+            M[c, 3 * k + c] = f
+    return M
+
+
+def _layer0_row_perm(F: int) -> np.ndarray:
+    """Map reference PE layout [x, sinf0, cosf0, sinf1, cosf1, ...] row
+    indices to kernel layout [x, sinf0..sinfF, cosf0..cosfF]."""
+    rows = list(range(3))                                   # identity part
+    for k in range(F):                                      # sin block
+        rows.extend(range(3 + 6 * k, 3 + 6 * k + 3))
+    for k in range(F):                                      # cos block
+        rows.extend(range(3 + 6 * k + 3, 3 + 6 * k + 6))
+    return np.array(rows)
+
+
+def pack_fused_params(params: Dict, cfg: NeRFWConfig, emb_xyz: Embedder,
+                      fine: bool) -> Dict:
+    """Repack a NeRFW param dict for the fused kernel (bf16 weights,
+    permuted layer-0 rows, fp32 biases)."""
+    perm = _layer0_row_perm(emb_xyz.num_freqs)
+    bf = jnp.bfloat16
+
+    def w(p):
+        return jnp.asarray(p["w"], bf)
+
+    def b(p):
+        return jnp.asarray(p["b"], jnp.float32)
+
+    out = {
+        "pe": jnp.asarray(_pe_matrix(emb_xyz)),
+        "w0": jnp.asarray(np.asarray(params["xyz_0"]["w"])[perm], bf),
+        "b0": b(params["xyz_0"]),
+    }
+    skip = cfg.skips[0]
+    for i in range(1, cfg.D):
+        if i == skip:
+            wi = np.asarray(params[f"xyz_{i}"]["w"])
+            out[f"w{i}a"] = jnp.asarray(wi[:cfg.in_xyz][perm], bf)  # xyz part
+            out[f"w{i}b"] = jnp.asarray(wi[cfg.in_xyz:], bf)        # h part
+        else:
+            out[f"w{i}"] = w(params[f"xyz_{i}"])
+        out[f"b{i}"] = b(params[f"xyz_{i}"])
+    out["w_sigma"] = w(params["static_sigma"])
+    out["b_sigma"] = b(params["static_sigma"])
+    out["w_final"] = w(params["xyz_final"])
+    out["b_final"] = b(params["xyz_final"])
+    W = cfg.W
+    out["w_dir_h"] = jnp.asarray(np.asarray(params["dir"]["w"])[:W], bf)
+    out["w_rgb"] = w(params["static_rgb"])
+    out["b_rgb"] = b(params["static_rgb"])
+    if fine:
+        out["w_t0_h"] = jnp.asarray(np.asarray(params["trans_0"]["w"])[:W], bf)
+        for i in (1, 2, 3):
+            out[f"w_t{i}"] = w(params[f"trans_{i}"])
+            out[f"b_t{i}"] = b(params[f"trans_{i}"])
+        out["w_tsigma"] = w(params["trans_sigma"])
+        out["b_tsigma"] = b(params["trans_sigma"])
+        out["w_trgb"] = w(params["trans_rgb"])
+        out["b_trgb"] = b(params["trans_rgb"])
+        out["w_tbeta"] = w(params["trans_beta"])
+        out["b_tbeta"] = b(params["trans_beta"])
+    return out
+
+
+def per_ray_partials(params: Dict, cfg: NeRFWConfig, dir_emb, a_emb=None,
+                     t_emb=None):
+    """Pre-reduce per-ray inputs: dir_part = [d, a] @ W_dir[rows] + b_dir,
+    t_part = t @ W_t0[rows] + b_t0 — both (N, W//2)."""
+    W = cfg.W
+    wd = params["dir"]["w"]
+    dir_part = dir_emb @ wd[W:W + cfg.in_dir] + params["dir"]["b"]
+    if cfg.encode_appearance and a_emb is not None:
+        dir_part = dir_part + a_emb @ wd[W + cfg.in_dir:]
+    t_part = None
+    if cfg.encode_transient and t_emb is not None:
+        wt = params["trans_0"]["w"]
+        t_part = t_emb @ wt[W:] + params["trans_0"]["b"]
+    return dir_part, t_part
+
+
+def _trunk(p, x, D: int, skip: int):
+    """x: (TR, S, 63) bf16 → h (TR, S, W) bf16, in VMEM."""
+    dn = (((2,), (0,)), ((), ()))
+
+    def dot(a, w):
+        return jax.lax.dot_general(a, w, dn, preferred_element_type=jnp.float32)
+
+    h = jax.nn.relu(dot(x, p["w0"]) + p["b0"]).astype(jnp.bfloat16)
+    for i in range(1, D):
+        if i == skip:
+            y = dot(x, p[f"w{i}a"]) + dot(h, p[f"w{i}b"]) + p[f"b{i}"]
+        else:
+            y = dot(h, p[f"w{i}"]) + p[f"b{i}"]
+        h = jax.nn.relu(y).astype(jnp.bfloat16)
+    return h, dot
+
+
+def _fine_kernel(D: int, skip: int, S: int,
+                 o_ref, d_ref, z_ref, dirp_ref, tp_ref, *rest):
+    p_names = rest[-1]
+    out_ref = rest[-2]
+    p = {k: r[...] for k, r in zip(p_names, rest[:-2])}
+
+    o = o_ref[...]            # (TR, 3)
+    d = d_ref[...]            # (TR, 3)
+    z = z_ref[...]            # (TR, S)
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]        # (TR, S, 3)
+    xs = jax.lax.dot_general(pts, p["pe"], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    x = jnp.concatenate([pts, jnp.sin(xs), jnp.cos(xs)], -1)  # (TR, S, 63)
+    x = x.astype(jnp.bfloat16)
+
+    h, dot = _trunk(p, x, D, skip)
+    sigma = jax.nn.softplus(dot(h, p["w_sigma"]) + p["b_sigma"])
+    hf = (dot(h, p["w_final"]) + p["b_final"]).astype(jnp.bfloat16)
+
+    db = jax.nn.relu(dot(hf, p["w_dir_h"]) + dirp_ref[...][:, None, :])
+    rgb = jax.nn.sigmoid(dot(db.astype(jnp.bfloat16), p["w_rgb"]) + p["b_rgb"])
+
+    t = jax.nn.relu(dot(hf, p["w_t0_h"]) + tp_ref[...][:, None, :]).astype(jnp.bfloat16)
+    for i in (1, 2, 3):
+        t = jax.nn.relu(dot(t, p[f"w_t{i}"]) + p[f"b_t{i}"]).astype(jnp.bfloat16)
+    t_sigma = jax.nn.softplus(dot(t, p["w_tsigma"]) + p["b_tsigma"])
+    t_rgb = jax.nn.sigmoid(dot(t, p["w_trgb"]) + p["b_trgb"])
+    t_beta = jax.nn.softplus(dot(t, p["w_tbeta"]) + p["b_tbeta"])
+
+    out_ref[...] = jnp.concatenate(
+        [rgb, sigma, t_rgb, t_sigma, t_beta], -1).astype(jnp.float32)
+
+
+def _coarse_kernel(D: int, skip: int, S: int, o_ref, d_ref, z_ref, *rest):
+    p_names = rest[-1]
+    out_ref = rest[-2]
+    p = {k: r[...] for k, r in zip(p_names, rest[:-2])}
+
+    o = o_ref[...]
+    d = d_ref[...]
+    z = z_ref[...]
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]
+    xs = jax.lax.dot_general(pts, p["pe"], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    x = jnp.concatenate([pts, jnp.sin(xs), jnp.cos(xs)], -1).astype(jnp.bfloat16)
+    h, dot = _trunk(p, x, D, skip)
+    sigma = jax.nn.softplus(dot(h, p["w_sigma"]) + p["b_sigma"])
+    out_ref[...] = sigma.astype(jnp.float32)
+
+
+def _ray_spec(feat):
+    return pl.BlockSpec((RAY_TILE,) + feat, lambda i: (i,) + (0,) * len(feat),
+                        memory_space=pltpu.VMEM)
+
+
+def _param_specs(packed: Dict):
+    names = sorted(packed.keys())
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
+    return names, specs
+
+
+@functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
+def fused_fine_raw(packed: Dict, rays_o, rays_d, z_vals, dir_part, t_part,
+                   D: int = 8, skip: int = 4, interpret: bool = False):
+    """(N,3),(N,3),(N,S),(N,64),(N,64) → raw (N, S, 9). N % RAY_TILE == 0."""
+    n, S = z_vals.shape
+    names, pspecs = _param_specs(packed)
+    kernel = functools.partial(_fine_kernel, D, skip, S)
+
+    def wrapped(o, d, z, dp, tp, *pvals):
+        return pl.pallas_call(
+            lambda *refs: kernel(*refs[:5], *refs[5:5 + len(names)],
+                                 refs[-1], names),
+            grid=(n // RAY_TILE,),
+            in_specs=[_ray_spec((3,)), _ray_spec((3,)), _ray_spec((S,)),
+                      _ray_spec((dp.shape[-1],)), _ray_spec((tp.shape[-1],))]
+                     + pspecs,
+            out_specs=_ray_spec((S, 9)),
+            out_shape=jax.ShapeDtypeStruct((n, S, 9), jnp.float32),
+            interpret=interpret,
+        )(o, d, z, dp, tp, *pvals)
+
+    return wrapped(rays_o, rays_d, z_vals, dir_part, t_part,
+                   *[packed[k] for k in names])
+
+
+@functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
+def fused_coarse_sigma(packed: Dict, rays_o, rays_d, z_vals,
+                       D: int = 8, skip: int = 4, interpret: bool = False):
+    """(N,3),(N,3),(N,S) → sigma (N, S, 1)."""
+    n, S = z_vals.shape
+    names, pspecs = _param_specs(packed)
+    kernel = functools.partial(_coarse_kernel, D, skip, S)
+
+    def wrapped(o, d, z, *pvals):
+        return pl.pallas_call(
+            lambda *refs: kernel(*refs[:3], *refs[3:3 + len(names)],
+                                 refs[-1], names),
+            grid=(n // RAY_TILE,),
+            in_specs=[_ray_spec((3,)), _ray_spec((3,)), _ray_spec((S,))] + pspecs,
+            out_specs=_ray_spec((S, 1)),
+            out_shape=jax.ShapeDtypeStruct((n, S, 1), jnp.float32),
+            interpret=interpret,
+        )(o, d, z, *pvals)
+
+    return wrapped(rays_o, rays_d, z_vals, *[packed[k] for k in names])
