@@ -18,11 +18,17 @@ from dfnet_tpu.render.volume import NeRFHModel, RenderSettings
 
 
 def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
-    """Returns (static model description, trainable param pytree)."""
+    """Returns (static model description, trainable param pytree).
+
+    In non-NeRFH mode builds the vanilla-NeRF pair instead (reference
+    create_nerf dispatch, nerfw.py:393-397)."""
     embed_xyz = get_embedder(cfg.multires, cfg.i_embed, cfg.reduce_embedding,
                              cfg.epochToMaxFreq, input_dims=3)
     embed_dir = get_embedder(cfg.multires_views, cfg.i_embed, cfg.reduce_embedding,
                              cfg.epochToMaxFreq, input_dims=3)
+
+    if not cfg.NeRFH:
+        return _create_vanilla(cfg, key, embed_xyz, embed_dir)
 
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     cfg_coarse = NeRFWConfig(
@@ -46,6 +52,28 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
 
     model = NeRFHModel(cfg_coarse=cfg_coarse, cfg_fine=cfg_fine,
                        embed_xyz=embed_xyz, embed_dir=embed_dir)
+    return model, params
+
+
+def _create_vanilla(cfg: Config, key, embed_xyz, embed_dir):
+    from dfnet_tpu.models.nerf_vanilla import VanillaNeRFConfig, init_nerf_params
+    from dfnet_tpu.render.volume import VanillaNeRFModel
+
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    cfg_c = VanillaNeRFConfig(
+        D=cfg.netdepth, W=cfg.netwidth, in_xyz=embed_xyz.out_dim,
+        in_dir=embed_dir.out_dim, use_viewdirs=cfg.use_viewdirs,
+        output_ch=5 if cfg.N_importance > 0 else 4, compute_dtype=dtype)
+    cfg_f = VanillaNeRFConfig(
+        D=cfg.netdepth_fine, W=cfg.netwidth_fine, in_xyz=embed_xyz.out_dim,
+        in_dir=embed_dir.out_dim, use_viewdirs=cfg.use_viewdirs,
+        output_ch=5 if cfg.N_importance > 0 else 4, compute_dtype=dtype)
+    kc, kf = jax.random.split(key)
+    params = {"coarse": init_nerf_params(kc, cfg_c)}
+    if cfg.N_importance > 0:
+        params["fine"] = init_nerf_params(kf, cfg_f)
+    model = VanillaNeRFModel(cfg_coarse=cfg_c, cfg_fine=cfg_f,
+                             embed_xyz=embed_xyz, embed_dir=embed_dir)
     return model, params
 
 

@@ -255,6 +255,77 @@ def render_rays(
     return out
 
 
+@dataclass(frozen=True)
+class VanillaNeRFModel:
+    """Static description of the non-NeRFH (vanilla NeRF) model pair."""
+    cfg_coarse: "object"
+    cfg_fine: "object"
+    embed_xyz: Embedder
+    embed_dir: Embedder
+
+
+def render_rays_vanilla(
+    params: Dict,
+    model: VanillaNeRFModel,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    settings: RenderSettings,
+    rng: Optional[jax.Array] = None,
+    epoch: Optional[jnp.ndarray] = None,
+) -> Dict:
+    """Original-NeRF coarse→fine pipeline (reference rendering.py:245-337
+    with raw2outputs, for the non-NeRFH mode)."""
+    from dfnet_tpu.models.nerf_vanilla import nerf_apply_rays
+
+    n = rays_o.shape[0]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = jnp.full((n, 1), settings.near, rays_o.dtype)
+    far = jnp.full((n, 1), settings.far, rays_o.dtype)
+
+    k_strat = k_pdf = k_n0 = k_n1 = None
+    if rng is not None:
+        k_strat, k_pdf, k_n0, k_n1 = jax.random.split(rng, 4)
+
+    z_vals = stratified_z_vals(near, far, settings.N_samples, k_strat,
+                               settings.lindisp, settings.perturb)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    dir_emb = model.embed_dir(viewdirs, epoch)
+
+    def noise_for(shape, key):
+        if settings.raw_noise_std > 0.0 and key is not None:
+            return settings.raw_noise_std * jax.random.normal(key, shape)
+        return None
+
+    raw_c = nerf_apply_rays(params["coarse"], model.cfg_coarse,
+                            model.embed_xyz(pts, epoch), dir_emb)
+    comp_c = composite_vanilla(raw_c, z_vals, rays_d,
+                               raw_noise=noise_for(raw_c.shape[:-1], k_n0),
+                               white_bkgd=settings.white_bkgd)
+    out: Dict = {}
+    if settings.N_importance > 0:
+        out["rgb0"] = comp_c["rgb"]
+        out["disp0"] = comp_c["disp"]
+        out["acc0"] = comp_c["acc"]
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
+                               settings.N_importance, k_pdf,
+                               det=(settings.perturb == 0.0))
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+        raw_f = nerf_apply_rays(params["fine"], model.cfg_fine,
+                                model.embed_xyz(pts_f, epoch), dir_emb)
+        comp_f = composite_vanilla(raw_f, z_all, rays_d,
+                                   raw_noise=noise_for(raw_f.shape[:-1], k_n1),
+                                   white_bkgd=settings.white_bkgd)
+        out.update(rgb=comp_f["rgb"], disp=comp_f["disp"], acc=comp_f["acc"],
+                   depth=comp_f["depth"])
+        out["z_std"] = jnp.std(z_samples, axis=-1)
+    else:
+        out.update(rgb=comp_c["rgb"], disp=comp_c["disp"], acc=comp_c["acc"],
+                   depth=comp_c["depth"])
+    return out
+
+
 def render_image(
     params: Dict,
     model: NeRFHModel,
@@ -284,7 +355,10 @@ def render_image(
 
     def body(args):
         ro, rd = args
-        r = render_rays(params, model, ro, rd, hist_b, settings, rng)
+        if isinstance(model, VanillaNeRFModel):
+            r = render_rays_vanilla(params, model, ro, rd, settings, rng)
+        else:
+            r = render_rays(params, model, ro, rd, hist_b, settings, rng)
         return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
 
     res = jax.lax.map(body, (rays_o, rays_d))

@@ -71,8 +71,15 @@ class NeRFTrainer:
         mesh = self.mesh
         shard = data_sharding(mesh) if mesh is not None else None
 
+        from dfnet_tpu.render.volume import VanillaNeRFModel, render_rays_vanilla
+
         def loss_fn(params, rays_o, rays_d, target, hist, rng):
-            out = render_rays(params, model, rays_o, rays_d, hist, settings, rng)
+            if isinstance(model, VanillaNeRFModel):
+                out = render_rays_vanilla(params, model, rays_o, rays_d,
+                                          settings, rng)
+            else:
+                out = render_rays(params, model, rays_o, rays_d, hist,
+                                  settings, rng)
             losses = nerfw_loss(out, target)
             loss = sum(losses.values())
             psnr = mse2psnr(img2mse(out["rgb"], target))

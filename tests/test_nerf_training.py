@@ -93,3 +93,23 @@ def test_sharded_train_step_runs_on_mesh():
     # (not bitwise comparable due to reduction orders; just sanity range)
     loss2, _ = trainer2.train_epoch(0)
     assert abs(loss - loss2) < max(1.0, 0.5 * loss2 + 0.5)
+
+
+def test_vanilla_nerf_mode_trains():
+    """Non-NeRFH mode: vanilla NeRF pair + original compositing."""
+    cfg = parse_args([
+        "--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+        "--netwidth_fine", "32", "--N_samples", "10", "--N_importance", "10",
+        "--N_rand", "200", "--dataset_type", "synthetic",
+    ], stage="nerf")
+    assert not cfg.NeRFH
+    scene = make_synthetic_scene(n_train=5, n_val=2, H=16, W=16, seed=1)
+    trainer = NeRFTrainer(cfg, scene)
+    from dfnet_tpu.render.volume import VanillaNeRFModel
+    assert isinstance(trainer.model, VanillaNeRFModel)
+    l0, p0 = trainer.train_epoch(0)
+    for e in range(1, 12):
+        loss, psnr = trainer.train_epoch(e)
+    assert loss < l0 and psnr > p0
+    val = trainer.render_split(scene.val)
+    assert val > 8.0
