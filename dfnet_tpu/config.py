@@ -84,6 +84,7 @@ class Config:
     white_bkgd: bool = False
     beta_min: float = 0.1
     tinyimg: bool = False
+    out_channel_size: int = 3          # >3 = feature-field NeRF (rgb + C feature channels)
     tinyscale: float = 4.0
 
     # ---- stage-2/3 (APR / direct matching) ----

@@ -33,12 +33,13 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     cfg_coarse = NeRFWConfig(
         D=cfg.netdepth, W=cfg.netwidth, in_xyz=embed_xyz.out_dim,
-        in_dir=embed_dir.out_dim, compute_dtype=dtype)
+        in_dir=embed_dir.out_dim, out_ch=cfg.out_channel_size,
+        compute_dtype=dtype)
     cfg_fine = NeRFWConfig(
         D=cfg.netdepth_fine, W=cfg.netwidth_fine, in_xyz=embed_xyz.out_dim,
         in_dir=embed_dir.out_dim, in_a=cfg.in_channels_a, in_t=cfg.in_channels_t,
         encode_appearance=True, encode_transient=True, beta_min=cfg.beta_min,
-        compute_dtype=dtype)
+        out_ch=cfg.out_channel_size, compute_dtype=dtype)
 
     kc, kf, ke = jax.random.split(key, 3)
     params = {"coarse": init_nerfw_params(kc, cfg_coarse)}

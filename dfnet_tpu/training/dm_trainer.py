@@ -151,6 +151,127 @@ class DMTrainer:
 
         self._predict12 = jax.jit(predict12)
 
+    # --------------------------------------------------------- variants
+    def build_photometric_step(self):
+        """Direct-PoseNet-lineage photometric training step: rgb MSE on
+        N_rand random rays rendered at the predicted pose (reference:
+        /root/reference/script/dm/direct_pose_model.py:228-276,
+        train_nerf_tracking lineage — present in the reference but not
+        reachable from its shipped configs)."""
+        cfg = self.cfg
+        H, W = self.scene.H, self.scene.W
+        focal = self.scene.focal
+        ws = self.scene.world_setup
+        nerf = self.nerf
+        optimizer = self.optimizer
+        n_rand = cfg.N_rand
+        mcfg = self.model_cfg
+        w = cfg.combine_loss_w
+
+        def predict_pose(params, image):
+            _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
+                                         return_feature=False,
+                                         upsample_h=H, upsample_w=W)
+            pose = pose12.reshape(1, 3, 4)
+            if cfg.svd_reg:
+                pose = project_rotation_svd(pose)
+            return pose
+
+        def loss_fn(params, image, pose_gt12, hist, rng):
+            pose = predict_pose(params, image)
+            pose_nerf = rescale_poses_to_nerf(
+                pose[0], ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
+            rays_o, rays_d = get_rays(H, W, focal, pose_nerf)
+            sel = jax.random.permutation(rng, H * W)[:n_rand]
+            out = render_rays(nerf.params, nerf.model,
+                              rays_o.reshape(-1, 3)[sel],
+                              rays_d.reshape(-1, 3)[sel],
+                              jnp.broadcast_to(hist[None], (n_rand,) + hist.shape),
+                              nerf.settings)
+            target = image.reshape(-1, 3)[sel]
+            photo_l = img2mse(out["rgb"], target)
+            pose_l = pose_loss(pose.reshape(1, 12), pose_gt12)
+            loss = w[0] * pose_l + w[1] * photo_l if len(w) >= 2 else photo_l
+            return loss, mse2psnr(photo_l)
+
+        def step(params, opt_state, image, pose_gt12, hist, rng):
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, image, pose_gt12, hist, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, psnr
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def train_epoch_photometric(self, step_fn, rng: np.random.Generator):
+        tr = self.scene.train
+        losses, psnrs = [], []
+        for i in rng.permutation(len(tr)):
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.opt_state, loss, psnr = step_fn(
+                self.params, self.opt_state, jnp.asarray(tr.images[i]),
+                jnp.asarray(tr.poses[i].reshape(1, 12)),
+                jnp.asarray(tr.hists[i]), k)
+            losses.append(float(loss))
+            psnrs.append(float(psnr))
+        return float(np.mean(losses)), float(np.mean(psnrs))
+
+    def build_feature_nerf_step(self, feature_nerf: FrozenNeRF):
+        """Feature-field matching step: the NeRF emits rgb+C features per
+        ray; match rendered ray features against G's level-0 feature map
+        at the sampled pixels (reference train_on_feature_batch,
+        direct_feature_matching.py:235-320 — requires a feature-output
+        NeRF; not exercised by the reference's shipped configs)."""
+        cfg = self.cfg
+        H, W = self.scene.H, self.scene.W
+        focal = self.scene.focal
+        ws = self.scene.world_setup
+        optimizer = self.optimizer
+        n_rand = cfg.N_rand
+        mcfg = self.model_cfg
+        w = cfg.combine_loss_w
+
+        def loss_fn(params, image, pose_gt12, hist, rng):
+            _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
+                                         return_feature=False,
+                                         upsample_h=H, upsample_w=W)
+            pose = pose12.reshape(1, 3, 4)
+            if cfg.svd_reg:
+                pose = project_rotation_svd(pose)
+            pose_nerf = rescale_poses_to_nerf(
+                pose[0], ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
+            rays_o, rays_d = get_rays(H, W, focal, pose_nerf)
+            sel = jax.random.permutation(rng, H * W)[:n_rand]
+            out = render_rays(feature_nerf.params, feature_nerf.model,
+                              rays_o.reshape(-1, 3)[sel],
+                              rays_d.reshape(-1, 3)[sel],
+                              jnp.broadcast_to(hist[None], (n_rand,) + hist.shape),
+                              feature_nerf.settings)
+            rgbf = out["rgb"]                       # (N, 3+C)
+            rgb = rgbf[:, :3]
+            feat_render = rgbf[:, 3:].T             # (C, N)
+            target = image.reshape(-1, 3)[sel]
+            feats, _, _ = dfnet_forward(
+                self.feat_params, self.feat_state, image[None], mcfg,
+                return_feature=True, is_single_stream=True, return_pose=False,
+                upsample_h=H, upsample_w=W)
+            f0 = feats[0][0, 0].reshape(H * W, -1)[sel].T   # (C, N)
+            photo_l = img2mse(rgb, target)
+            feat_l = cosine_feature_loss(feat_render, f0,
+                                         per_channel=cfg.per_channel)
+            pose_l = pose_loss(pose.reshape(1, 12), pose_gt12)
+            loss = w[0] * pose_l + w[1] * photo_l + w[2] * feat_l
+            return loss, mse2psnr(photo_l)
+
+        def step(params, opt_state, image, pose_gt12, hist, rng):
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, image, pose_gt12, hist, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, psnr
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
     # ------------------------------------------------------------- epochs
     def train_epoch(self, rng: np.random.Generator) -> Tuple[float, float]:
         tr = self.scene.train

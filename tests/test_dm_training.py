@@ -103,3 +103,51 @@ def test_dm_pose_loss_mode(pipeline):
     for _ in range(4):
         l, _ = trainer.train_epoch(rng)
     assert l < l0
+
+
+def test_dm_photometric_variant(pipeline):
+    """Direct-PoseNet lineage: photometric rgb loss on sampled rays."""
+    tmp, dfnet_ckpt = pipeline
+    cfg = parse_args(BASE + [
+        "--basedir", str(tmp), "--expname", "nerfh", "--model_name", "dfnetpm",
+        "--pretrain_model_path", dfnet_ckpt, "--DFNet",
+        "--learning_rate", "1e-4",
+    ], stage="dm").replace(combine_loss_w=[0.0, 1.0])
+    nerf = FrozenNeRF.from_experiment(cfg, SCENE.hwf, SCENE.near, SCENE.far,
+                                      SCENE.world_setup)
+    trainer = DMTrainer(cfg, SCENE, nerf)
+    step = trainer.build_photometric_step()
+    rng = np.random.default_rng(0)
+    l0, p0 = trainer.train_epoch_photometric(step, rng)
+    for _ in range(3):
+        l, p = trainer.train_epoch_photometric(step, rng)
+    assert np.isfinite(l) and l < l0
+
+
+def test_dm_feature_nerf_variant(pipeline):
+    """Feature-field NeRF: ray-sampled 3+C channel render matched against
+    G's level-0 features at the sampled pixels."""
+    import jax
+    from dfnet_tpu.models.dfnet import DFNetConfig, init_dfnet_params
+
+    tmp, dfnet_ckpt = pipeline
+    cfg = parse_args(BASE + [
+        "--basedir", str(tmp), "--expname", "nofeatnerf",
+        "--model_name", "dfnetfm", "--pretrain_model_path", dfnet_ckpt,
+        "--DFNet", "--combine_loss",
+    ], stage="dm").replace(combine_loss_w=[0.0, 0.5, 0.5],
+                           out_channel_size=3 + 128)
+    # random feature-field NeRF (out_ch = 3 + output_dim of DFNet)
+    feat_nerf = FrozenNeRF(cfg.replace(no_reload=True), SCENE.hwf, SCENE.near,
+                           SCENE.far, SCENE.world_setup)
+    trainer = DMTrainer(cfg.replace(out_channel_size=3), SCENE,
+                        feat_nerf)
+    step = trainer.build_feature_nerf_step(feat_nerf)
+    rng = np.random.default_rng(0)
+    tr = SCENE.train
+    import jax.numpy as jnp
+    trainer.rng, k = jax.random.split(trainer.rng)
+    params, opt_state, loss, psnr = step(
+        trainer.params, trainer.opt_state, jnp.asarray(tr.images[0]),
+        jnp.asarray(tr.poses[0].reshape(1, 12)), jnp.asarray(tr.hists[0]), k)
+    assert np.isfinite(float(loss)) and np.isfinite(float(psnr))
