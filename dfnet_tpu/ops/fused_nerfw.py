@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dfnet_tpu.models.embedder import Embedder
 from dfnet_tpu.models.nerfw import NeRFWConfig
 
-RAY_TILE = 16  # rays per kernel program
+RAY_TILE = 64  # rays per kernel program (×S samples = points per tile)
 
 
 def _pe_matrix(emb: Embedder) -> np.ndarray:
@@ -126,21 +126,36 @@ def per_ray_partials(params: Dict, cfg: NeRFWConfig, dir_emb, a_emb=None,
     return dir_part, t_part
 
 
+def _dot(a, w):
+    return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _trunk(p, x, D: int, skip: int):
-    """x: (TR, S, 63) bf16 → h (TR, S, W) bf16, in VMEM."""
-    dn = (((2,), (0,)), ((), ()))
-
-    def dot(a, w):
-        return jax.lax.dot_general(a, w, dn, preferred_element_type=jnp.float32)
-
-    h = jax.nn.relu(dot(x, p["w0"]) + p["b0"]).astype(jnp.bfloat16)
+    """x: (T, 63) bf16 → h (T, W) bf16, all in VMEM, 2-D matmuls only."""
+    h = jax.nn.relu(_dot(x, p["w0"]) + p["b0"]).astype(jnp.bfloat16)
     for i in range(1, D):
         if i == skip:
-            y = dot(x, p[f"w{i}a"]) + dot(h, p[f"w{i}b"]) + p[f"b{i}"]
+            y = _dot(x, p[f"w{i}a"]) + _dot(h, p[f"w{i}b"]) + p[f"b{i}"]
         else:
-            y = dot(h, p[f"w{i}"]) + p[f"b{i}"]
+            y = _dot(h, p[f"w{i}"]) + p[f"b{i}"]
         h = jax.nn.relu(y).astype(jnp.bfloat16)
-    return h, dot
+    return h
+
+
+def _embed_points(p, o, d, z, S: int):
+    """(TR,3),(TR,3),(TR,S) → PE features (TR*S, 63) bf16."""
+    pts = o[:, None, :] + d[:, None, :] * z[..., None]        # (TR, S, 3)
+    pts = pts.reshape(-1, 3)                                  # (T, 3)
+    xs = _dot(pts, p["pe"])                                   # (T, 30)
+    x = jnp.concatenate([pts, jnp.sin(xs), jnp.cos(xs)], -1)  # (T, 63)
+    return x.astype(jnp.bfloat16)
+
+
+def _broadcast_rays(v, S: int):
+    """(TR, C) per-ray values → (TR*S, C) sample-major."""
+    TR, C = v.shape
+    return jnp.broadcast_to(v[:, None, :], (TR, S, C)).reshape(TR * S, C)
 
 
 def _fine_kernel(D: int, skip: int, S: int,
@@ -149,31 +164,24 @@ def _fine_kernel(D: int, skip: int, S: int,
     out_ref = rest[-2]
     p = {k: r[...] for k, r in zip(p_names, rest[:-2])}
 
-    o = o_ref[...]            # (TR, 3)
-    d = d_ref[...]            # (TR, 3)
-    z = z_ref[...]            # (TR, S)
-    pts = o[:, None, :] + d[:, None, :] * z[..., None]        # (TR, S, 3)
-    xs = jax.lax.dot_general(pts, p["pe"], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    x = jnp.concatenate([pts, jnp.sin(xs), jnp.cos(xs)], -1)  # (TR, S, 63)
-    x = x.astype(jnp.bfloat16)
+    x = _embed_points(p, o_ref[...], d_ref[...], z_ref[...], S)
+    h = _trunk(p, x, D, skip)
+    sigma = jax.nn.softplus(_dot(h, p["w_sigma"]) + p["b_sigma"])
+    hf = (_dot(h, p["w_final"]) + p["b_final"]).astype(jnp.bfloat16)
 
-    h, dot = _trunk(p, x, D, skip)
-    sigma = jax.nn.softplus(dot(h, p["w_sigma"]) + p["b_sigma"])
-    hf = (dot(h, p["w_final"]) + p["b_final"]).astype(jnp.bfloat16)
+    db = jax.nn.relu(_dot(hf, p["w_dir_h"]) + _broadcast_rays(dirp_ref[...], S))
+    rgb = jax.nn.sigmoid(_dot(db.astype(jnp.bfloat16), p["w_rgb"]) + p["b_rgb"])
 
-    db = jax.nn.relu(dot(hf, p["w_dir_h"]) + dirp_ref[...][:, None, :])
-    rgb = jax.nn.sigmoid(dot(db.astype(jnp.bfloat16), p["w_rgb"]) + p["b_rgb"])
-
-    t = jax.nn.relu(dot(hf, p["w_t0_h"]) + tp_ref[...][:, None, :]).astype(jnp.bfloat16)
+    t = jax.nn.relu(_dot(hf, p["w_t0_h"])
+                    + _broadcast_rays(tp_ref[...], S)).astype(jnp.bfloat16)
     for i in (1, 2, 3):
-        t = jax.nn.relu(dot(t, p[f"w_t{i}"]) + p[f"b_t{i}"]).astype(jnp.bfloat16)
-    t_sigma = jax.nn.softplus(dot(t, p["w_tsigma"]) + p["b_tsigma"])
-    t_rgb = jax.nn.sigmoid(dot(t, p["w_trgb"]) + p["b_trgb"])
-    t_beta = jax.nn.softplus(dot(t, p["w_tbeta"]) + p["b_tbeta"])
+        t = jax.nn.relu(_dot(t, p[f"w_t{i}"]) + p[f"b_t{i}"]).astype(jnp.bfloat16)
+    t_sigma = jax.nn.softplus(_dot(t, p["w_tsigma"]) + p["b_tsigma"])
+    t_rgb = jax.nn.sigmoid(_dot(t, p["w_trgb"]) + p["b_trgb"])
+    t_beta = jax.nn.softplus(_dot(t, p["w_tbeta"]) + p["b_tbeta"])
 
-    out_ref[...] = jnp.concatenate(
-        [rgb, sigma, t_rgb, t_sigma, t_beta], -1).astype(jnp.float32)
+    out = jnp.concatenate([rgb, sigma, t_rgb, t_sigma, t_beta], -1)
+    out_ref[...] = out.reshape(-1, S, 9).astype(jnp.float32)
 
 
 def _coarse_kernel(D: int, skip: int, S: int, o_ref, d_ref, z_ref, *rest):
@@ -181,16 +189,10 @@ def _coarse_kernel(D: int, skip: int, S: int, o_ref, d_ref, z_ref, *rest):
     out_ref = rest[-2]
     p = {k: r[...] for k, r in zip(p_names, rest[:-2])}
 
-    o = o_ref[...]
-    d = d_ref[...]
-    z = z_ref[...]
-    pts = o[:, None, :] + d[:, None, :] * z[..., None]
-    xs = jax.lax.dot_general(pts, p["pe"], (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    x = jnp.concatenate([pts, jnp.sin(xs), jnp.cos(xs)], -1).astype(jnp.bfloat16)
-    h, dot = _trunk(p, x, D, skip)
-    sigma = jax.nn.softplus(dot(h, p["w_sigma"]) + p["b_sigma"])
-    out_ref[...] = sigma.astype(jnp.float32)
+    x = _embed_points(p, o_ref[...], d_ref[...], z_ref[...], S)
+    h = _trunk(p, x, D, skip)
+    sigma = jax.nn.softplus(_dot(h, p["w_sigma"]) + p["b_sigma"])
+    out_ref[...] = sigma.reshape(-1, S, 1).astype(jnp.float32)
 
 
 def _ray_spec(feat):
