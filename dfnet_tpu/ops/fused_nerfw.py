@@ -3,24 +3,27 @@
 The profile (see bench.py history) shows XLA's render path is
 HBM-bound: every MLP layer round-trips (points × width) activations
 through HBM, and the positional encoding materializes (points × 63)
-inputs. These kernels fuse ray-points → positional encoding → trunk MLP
-→ heads for one ray tile entirely in VMEM: HBM traffic drops to the ray
-inputs (o, d, z, per-ray embeddings) and the raw head outputs
-(9 floats/point), making the pass MXU-bound.
+inputs. These kernels fuse positional encoding → trunk MLP → heads for
+one point tile entirely in VMEM: per point, HBM traffic drops to the
+12-byte input position (+ two optional per-point conditioning partials)
+and the raw head outputs, instead of ~20 layer-activation round-trips.
 
 Used on the no-gradient paths (test-time rendering: eval, stage-2/3
 pre-renders, the benchmark). Training and stage-3's differentiable
 render keep the XLA path (autodiff).
 
-Weight packing notes:
+Design notes:
+  - point-major: callers flatten rays×samples to a point axis and
+    pre-expand the (cheap, XLA-fused) per-ray partials; the kernel is a
+    clean 2-D pipeline with no in-kernel reshapes or broadcasts, which
+    Mosaic compiles quickly and tiles well;
   - matmuls run in bfloat16 with float32 accumulation;
   - the in-kernel PE emits [xyz, sin(f⊗xyz), cos(f⊗xyz)] grouped
-    frequency-major, so the reference layer-0 rows (interleaved
-    sin/cos per frequency) are permuted once at pack time;
+    frequency-major, so the reference layer-0 rows (interleaved sin/cos
+    per frequency) are permuted once at pack time;
   - per-ray dense work (viewdir/appearance/transient embeddings) is
-    pre-reduced outside the kernel to two (N_rays, W//2) partials and
-    broadcast across samples in VMEM — computed once per ray, not per
-    sample (see models/nerfw.nerfw_apply_rays for the algebra).
+    pre-reduced to (N_rays, W//2) partials outside the kernel — computed
+    once per ray, not per sample (see models/nerfw.nerfw_apply_rays).
 """
 
 from __future__ import annotations
@@ -37,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from dfnet_tpu.models.embedder import Embedder
 from dfnet_tpu.models.nerfw import NeRFWConfig
 
-RAY_TILE = 64  # rays per kernel program (×S samples = points per tile)
+POINT_TILE = 2048       # fine-kernel points per program (VMEM-bound)
+COARSE_TILE = 4096      # coarse kernel is trunk-only → larger tiles fit
 
 
 def _pe_matrix(emb: Embedder) -> np.ndarray:
@@ -53,10 +57,10 @@ def _pe_matrix(emb: Embedder) -> np.ndarray:
 def _layer0_row_perm(F: int) -> np.ndarray:
     """Map reference PE layout [x, sinf0, cosf0, sinf1, cosf1, ...] row
     indices to kernel layout [x, sinf0..sinfF, cosf0..cosfF]."""
-    rows = list(range(3))                                   # identity part
-    for k in range(F):                                      # sin block
+    rows = list(range(3))
+    for k in range(F):
         rows.extend(range(3 + 6 * k, 3 + 6 * k + 3))
-    for k in range(F):                                      # cos block
+    for k in range(F):
         rows.extend(range(3 + 6 * k + 3, 3 + 6 * k + 6))
     return np.array(rows)
 
@@ -132,7 +136,9 @@ def _dot(a, w):
 
 
 def _trunk(p, x, D: int, skip: int):
-    """x: (T, 63) bf16 → h (T, W) bf16, all in VMEM, 2-D matmuls only."""
+    """x: (T, 63) bf16 → h (T, W) bf16, all in VMEM, 2-D matmuls only.
+    (Mosaic requires 32-bit matmul accumulation; activations are cast
+    back to bf16 between layers.)"""
     h = jax.nn.relu(_dot(x, p["w0"]) + p["b0"]).astype(jnp.bfloat16)
     for i in range(1, D):
         if i == skip:
@@ -143,60 +149,48 @@ def _trunk(p, x, D: int, skip: int):
     return h
 
 
-def _embed_points(p, o, d, z, S: int):
-    """(TR,3),(TR,3),(TR,S) → PE features (TR*S, 63) bf16."""
-    pts = o[:, None, :] + d[:, None, :] * z[..., None]        # (TR, S, 3)
-    pts = pts.reshape(-1, 3)                                  # (T, 3)
+def _embed(p, pts):
+    """(T,3) → PE features (T, 63) bf16."""
     xs = _dot(pts, p["pe"])                                   # (T, 30)
     x = jnp.concatenate([pts, jnp.sin(xs), jnp.cos(xs)], -1)  # (T, 63)
     return x.astype(jnp.bfloat16)
 
 
-def _broadcast_rays(v, S: int):
-    """(TR, C) per-ray values → (TR*S, C) sample-major."""
-    TR, C = v.shape
-    return jnp.broadcast_to(v[:, None, :], (TR, S, C)).reshape(TR * S, C)
-
-
-def _fine_kernel(D: int, skip: int, S: int,
-                 o_ref, d_ref, z_ref, dirp_ref, tp_ref, *rest):
+def _fine_kernel(D: int, skip: int, pts_ref, dirp_ref, tp_ref, *rest):
     p_names = rest[-1]
     out_ref = rest[-2]
     p = {k: r[...] for k, r in zip(p_names, rest[:-2])}
 
-    x = _embed_points(p, o_ref[...], d_ref[...], z_ref[...], S)
+    x = _embed(p, pts_ref[...])
     h = _trunk(p, x, D, skip)
     sigma = jax.nn.softplus(_dot(h, p["w_sigma"]) + p["b_sigma"])
     hf = (_dot(h, p["w_final"]) + p["b_final"]).astype(jnp.bfloat16)
 
-    db = jax.nn.relu(_dot(hf, p["w_dir_h"]) + _broadcast_rays(dirp_ref[...], S))
+    db = jax.nn.relu(_dot(hf, p["w_dir_h"]) + dirp_ref[...])
     rgb = jax.nn.sigmoid(_dot(db.astype(jnp.bfloat16), p["w_rgb"]) + p["b_rgb"])
 
-    t = jax.nn.relu(_dot(hf, p["w_t0_h"])
-                    + _broadcast_rays(tp_ref[...], S)).astype(jnp.bfloat16)
+    t = jax.nn.relu(_dot(hf, p["w_t0_h"]) + tp_ref[...]).astype(jnp.bfloat16)
     for i in (1, 2, 3):
         t = jax.nn.relu(_dot(t, p[f"w_t{i}"]) + p[f"b_t{i}"]).astype(jnp.bfloat16)
     t_sigma = jax.nn.softplus(_dot(t, p["w_tsigma"]) + p["b_tsigma"])
     t_rgb = jax.nn.sigmoid(_dot(t, p["w_trgb"]) + p["b_trgb"])
     t_beta = jax.nn.softplus(_dot(t, p["w_tbeta"]) + p["b_tbeta"])
 
-    out = jnp.concatenate([rgb, sigma, t_rgb, t_sigma, t_beta], -1)
-    out_ref[...] = out.reshape(-1, S, 9).astype(jnp.float32)
+    out_ref[...] = jnp.concatenate(
+        [rgb, sigma, t_rgb, t_sigma, t_beta], -1).astype(jnp.float32)
 
 
-def _coarse_kernel(D: int, skip: int, S: int, o_ref, d_ref, z_ref, *rest):
+def _coarse_kernel(D: int, skip: int, pts_ref, *rest):
     p_names = rest[-1]
     out_ref = rest[-2]
     p = {k: r[...] for k, r in zip(p_names, rest[:-2])}
-
-    x = _embed_points(p, o_ref[...], d_ref[...], z_ref[...], S)
+    x = _embed(p, pts_ref[...])
     h = _trunk(p, x, D, skip)
-    sigma = jax.nn.softplus(_dot(h, p["w_sigma"]) + p["b_sigma"])
-    out_ref[...] = sigma.reshape(-1, S, 1).astype(jnp.float32)
+    out_ref[...] = jax.nn.softplus(_dot(h, p["w_sigma"]) + p["b_sigma"])
 
 
-def _ray_spec(feat):
-    return pl.BlockSpec((RAY_TILE,) + feat, lambda i: (i,) + (0,) * len(feat),
+def _pt_spec(feat: int, tile: int = POINT_TILE):
+    return pl.BlockSpec((tile, feat), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -207,47 +201,37 @@ def _param_specs(packed: Dict):
 
 
 @functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
-def fused_fine_raw(packed: Dict, rays_o, rays_d, z_vals, dir_part, t_part,
+def fused_fine_raw(packed: Dict, pts, dir_part, t_part,
                    D: int = 8, skip: int = 4, interpret: bool = False):
-    """(N,3),(N,3),(N,S),(N,64),(N,64) → raw (N, S, 9). N % RAY_TILE == 0."""
-    n, S = z_vals.shape
+    """pts (P,3) bf16/f32, dir_part/t_part (P, W//2) f32 (pre-expanded to
+    points) → raw (P, 9). P % POINT_TILE == 0."""
+    n = pts.shape[0]
     names, pspecs = _param_specs(packed)
-    kernel = functools.partial(_fine_kernel, D, skip, S)
-
-    def wrapped(o, d, z, dp, tp, *pvals):
-        return pl.pallas_call(
-            lambda *refs: kernel(*refs[:5], *refs[5:5 + len(names)],
-                                 refs[-1], names),
-            grid=(n // RAY_TILE,),
-            in_specs=[_ray_spec((3,)), _ray_spec((3,)), _ray_spec((S,)),
-                      _ray_spec((dp.shape[-1],)), _ray_spec((tp.shape[-1],))]
-                     + pspecs,
-            out_specs=_ray_spec((S, 9)),
-            out_shape=jax.ShapeDtypeStruct((n, S, 9), jnp.float32),
-            interpret=interpret,
-        )(o, d, z, dp, tp, *pvals)
-
-    return wrapped(rays_o, rays_d, z_vals, dir_part, t_part,
-                   *[packed[k] for k in names])
+    kernel = functools.partial(_fine_kernel, D, skip)
+    return pl.pallas_call(
+        lambda *refs: kernel(*refs[:3], *refs[3:3 + len(names)], refs[-1], names),
+        grid=(n // POINT_TILE,),
+        in_specs=[_pt_spec(3), _pt_spec(dir_part.shape[-1]),
+                  _pt_spec(t_part.shape[-1])] + pspecs,
+        out_specs=_pt_spec(9),
+        out_shape=jax.ShapeDtypeStruct((n, 9), jnp.float32),
+        interpret=interpret,
+    )(pts, dir_part, t_part, *[packed[k] for k in names])
 
 
 @functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
-def fused_coarse_sigma(packed: Dict, rays_o, rays_d, z_vals,
+def fused_coarse_sigma(packed: Dict, pts,
                        D: int = 8, skip: int = 4, interpret: bool = False):
-    """(N,3),(N,3),(N,S) → sigma (N, S, 1)."""
-    n, S = z_vals.shape
+    """pts (P,3) → sigma (P, 1)."""
+    n = pts.shape[0]
     names, pspecs = _param_specs(packed)
-    kernel = functools.partial(_coarse_kernel, D, skip, S)
-
-    def wrapped(o, d, z, *pvals):
-        return pl.pallas_call(
-            lambda *refs: kernel(*refs[:3], *refs[3:3 + len(names)],
-                                 refs[-1], names),
-            grid=(n // RAY_TILE,),
-            in_specs=[_ray_spec((3,)), _ray_spec((3,)), _ray_spec((S,))] + pspecs,
-            out_specs=_ray_spec((S, 1)),
-            out_shape=jax.ShapeDtypeStruct((n, S, 1), jnp.float32),
-            interpret=interpret,
-        )(o, d, z, *pvals)
-
-    return wrapped(rays_o, rays_d, z_vals, *[packed[k] for k in names])
+    kernel = functools.partial(_coarse_kernel, D, skip)
+    tile = COARSE_TILE if n % COARSE_TILE == 0 else POINT_TILE
+    return pl.pallas_call(
+        lambda *refs: kernel(refs[0], *refs[1:1 + len(names)], refs[-1], names),
+        grid=(n // tile,),
+        in_specs=[_pt_spec(3, tile)] + pspecs,
+        out_specs=_pt_spec(1, tile),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        interpret=interpret,
+    )(pts, *[packed[k] for k in names])

@@ -10,7 +10,7 @@ from dfnet_tpu.models.nerfw import (
     NeRFWConfig, init_nerfw_params, nerfw_apply_rays,
 )
 from dfnet_tpu.ops.fused_nerfw import (
-    RAY_TILE, fused_coarse_sigma, fused_fine_raw, pack_fused_params,
+    POINT_TILE, fused_coarse_sigma, fused_fine_raw, pack_fused_params,
     per_ray_partials,
 )
 
@@ -27,7 +27,7 @@ def setup(fine=True):
 
 def test_fused_fine_matches_xla():
     emb_xyz, emb_dir, cfg, params = setup(fine=True)
-    n, S = 2 * RAY_TILE, 16
+    n, S = POINT_TILE // 16, 16  # n*S = POINT_TILE points
     ks = jax.random.split(jax.random.PRNGKey(1), 5)
     rays_o = jax.random.normal(ks[0], (n, 3)) * 0.1
     rays_d = jax.random.normal(ks[1], (n, 3))
@@ -42,19 +42,21 @@ def test_fused_fine_matches_xla():
 
     packed = pack_fused_params(params, cfg, emb_xyz, fine=True)
     dp, tp = per_ray_partials(params, cfg, dir_emb, a_emb, t_emb)
-    got = fused_fine_raw(packed, rays_o, rays_d, z, dp, tp, interpret=True)
-    assert got.shape == (n, S, 9)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    pts_flat = pts.reshape(-1, 3)
+    dp_pts = jnp.repeat(dp, S, axis=0)
+    tp_pts = jnp.repeat(tp, S, axis=0)
+    got = fused_fine_raw(packed, pts_flat, dp_pts, tp_pts, interpret=True)
+    assert got.shape == (n * S, 9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref).reshape(-1, 9),
                                atol=0.05, rtol=0.05)
-    # the high-dynamic-range channels (sigmas) should correlate strongly
-    r = np.corrcoef(np.asarray(got[..., 3]).ravel(),
+    r = np.corrcoef(np.asarray(got[:, 3]).ravel(),
                     np.asarray(ref[..., 3]).ravel())[0, 1]
     assert r > 0.999
 
 
 def test_fused_coarse_matches_xla():
     emb_xyz, emb_dir, cfg, params = setup(fine=False)
-    n, S = RAY_TILE, 8
+    n, S = POINT_TILE // 8, 8
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
     rays_o = jax.random.normal(ks[0], (n, 3)) * 0.1
     rays_d = jax.random.normal(ks[1], (n, 3))
@@ -64,6 +66,33 @@ def test_fused_coarse_matches_xla():
     ref = nerfw_apply_rays(params, cfg, emb_xyz(pts), sigma_only=True)
 
     packed = pack_fused_params(params, cfg, emb_xyz, fine=False)
-    got = fused_coarse_sigma(packed, rays_o, rays_d, z, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    got = fused_coarse_sigma(packed, pts.reshape(-1, 3), interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref).reshape(-1, 1),
                                atol=0.05, rtol=0.05)
+
+
+def test_render_rays_fused_matches_xla_path():
+    from dfnet_tpu.config import parse_args
+    from dfnet_tpu.models.factory import create_nerfh, render_settings
+    from dfnet_tpu.render.fast import FusedNeRFH, render_rays_fused
+    from dfnet_tpu.render.volume import render_rays
+
+    cfg = parse_args(["--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+                      "--N_samples", "64", "--N_importance", "64"], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    st = render_settings(cfg, 0.2, 3.0, test=True)
+
+    n = 64  # 64*64 = 4096 coarse pts; 64*128 fine — both tile multiples of 2048
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    ro = jax.random.normal(ks[0], (n, 3)) * 0.1
+    rd = jax.random.normal(ks[1], (n, 3))
+    hist = jnp.zeros((n, 10), jnp.int32)
+
+    ref = render_rays(params, model, ro, rd, hist, st)
+    fused = FusedNeRFH.pack(params, model)
+    got = render_rays_fused(fused, ro, rd, hist, st, interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(ref["rgb"]),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(got["acc"]), np.asarray(ref["acc"]),
+                               atol=0.02)
