@@ -47,7 +47,8 @@ def _apply_fix_coord(train: Split, val: Split, dataset_type: str,
 def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
     """stage: 'nerf' (rescale into NeRF coords) or 'apr' (keep metric frame)."""
     if cfg.dataset_type == "synthetic":
-        return make_synthetic_scene(H=24, W=32, seed=cfg.rng_seed)
+        # 48x64 keeps VGG16's five 2x2 pools valid (each side ≥ 32)
+        return make_synthetic_scene(H=48, W=64, focal=60.0, seed=cfg.rng_seed)
 
     datadir = cfg.datadir.rstrip("/")
     meta_dir = datadir  # contains world_setup.json / pose_avg_stats.txt

@@ -77,7 +77,9 @@ class DMTrainer:
     def _build(self):
         cfg, mcfg = self.cfg, self.model_cfg
         H, W = self.scene.H, self.scene.W
-        w = cfg.combine_loss_w
+        # dm default is 2 weights (dm/options.py:181); the loss uses 3 —
+        # pad with zeros so [0.5, 0.5] means pose+photo only
+        w = (list(cfg.combine_loss_w) + [0.0, 0.0, 0.0])[:3]
         levels = tuple(cfg.feature_matching_lvl)
         nerf = self.nerf
         optimizer = self.optimizer

@@ -1,0 +1,85 @@
+"""Entry-point smoke tests: the three CLIs run end-to-end on the
+synthetic scene with tiny models (in-process, CPU mesh)."""
+
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TINY = [
+    "--dataset_type", "synthetic", "--NeRFH", "--encode_hist",
+    "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+    "--netwidth_fine", "16", "--N_samples", "6", "--N_importance", "6",
+    "--N_rand", "64",
+]
+
+
+def test_run_nerf_cli(tmp_path):
+    import run_nerf
+
+    argv = TINY + ["--basedir", str(tmp_path), "--expname", "nerfh",
+                   "--epochs", "2", "--i_weights", "2", "--i_testset", "1000"]
+    run_nerf.train(argv)
+    assert (tmp_path / "nerfh" / "000002.npz").exists()
+    assert (tmp_path / "nerfh" / "args.txt").exists()
+
+    # eval path reuses the checkpoint
+    psnr = run_nerf.train(argv + ["--render_test"])
+    assert psnr is not None and np.isfinite(psnr)
+    assert (tmp_path / "nerfh" / "evaluate_val_test_000003" / "000.png").exists()
+
+
+def test_run_feature_cli(tmp_path):
+    import run_nerf
+    import run_feature
+
+    argv = TINY + ["--basedir", str(tmp_path), "--expname", "nerfh",
+                   "--epochs", "1", "--i_weights", "1", "--i_testset", "1000"]
+    run_nerf.train(argv)
+
+    feat_argv = TINY + [
+        "--basedir", str(tmp_path), "--expname", "nerfh",
+        "--model_name", "dfnet", "--DFNet", "--featurenet_batch_size", "2",
+        "--epochs", "1", "--i_eval", "1000", "--tinyimg",
+    ]
+    run_feature.train(feat_argv)
+    assert (tmp_path / "dfnet" / "checkpoint-0000-0.0000.npz").exists() or \
+        list((tmp_path / "dfnet").glob("checkpoint*.npz"))
+
+
+def test_train_cli_and_eval(tmp_path):
+    import run_nerf
+    import train as train_cli
+
+    argv = TINY + ["--basedir", str(tmp_path), "--expname", "nerfh",
+                   "--epochs", "1", "--i_weights", "1", "--i_testset", "1000"]
+    run_nerf.train(argv)
+
+    # make a DFNet checkpoint without full stage-2 training
+    from dfnet_tpu.config import parse_args
+    from dfnet_tpu.data.loader import load_scene
+    from dfnet_tpu.training.feature_trainer import FeatureTrainer
+
+    fcfg = parse_args(TINY + ["--basedir", str(tmp_path), "--model_name",
+                              "dfnet", "--DFNet"], stage="feature")
+    scene = load_scene(fcfg, stage="apr")
+    ft = FeatureTrainer(fcfg, scene, nerf=None)
+    ft.early_stopping(1.0, ft.checkpoint_tree(), epoch=0, save_multiple=False)
+    ckpt = str(tmp_path / "dfnet" / "checkpoint.npz")
+
+    dm_argv = TINY + [
+        "--basedir", str(tmp_path), "--expname", "nerfh",
+        "--model_name", "dfnetdm", "--DFNet", "--combine_loss",
+        "--pretrain_model_path", ckpt, "--epochs", "0", "--i_eval", "1000",
+        "--val_on_psnr",
+    ]
+    train_cli.train(dm_argv)
+    assert list((tmp_path / "dfnetdm").glob("checkpoint*.npz"))
+
+    # eval mode
+    train_cli.evaluate(dm_argv + ["--eval"])

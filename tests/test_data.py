@@ -116,4 +116,4 @@ def test_seven_scenes_reader_and_loader(tmp_path):
 def test_loader_synthetic():
     cfg = parse_args(["--dataset_type", "synthetic"], stage="nerf")
     scene = load_scene(cfg)
-    assert scene.train.images.shape[1:] == (24, 32, 3)
+    assert scene.train.images.shape[1:] == (48, 64, 3)
