@@ -47,10 +47,31 @@ class FusedNeRFH:
         )
 
 
+RAY_CHUNK = 4096  # rays per internal chunk (bounds the expanded-partial buffers)
+
+
 def render_rays_fused(fused: FusedNeRFH, rays_o, rays_d, hist,
                       settings: RenderSettings, interpret: bool = False) -> Dict:
-    """Test-time render of a ray batch; N_rays * N_samples must be a
-    multiple of POINT_TILE (callers pad the ray axis)."""
+    """Test-time render of a ray batch. Internally chunks the ray axis
+    with lax.map when the batch exceeds RAY_CHUNK (the per-point
+    expansion of the conditioning partials is what bounds memory)."""
+    n = rays_o.shape[0]
+    if n > RAY_CHUNK and n % RAY_CHUNK == 0:
+        nch = n // RAY_CHUNK
+
+        def body(args):
+            ro, rd, h = args
+            return _render_chunk(fused, ro, rd, h, settings, interpret)
+
+        res = jax.lax.map(body, (rays_o.reshape(nch, RAY_CHUNK, 3),
+                                 rays_d.reshape(nch, RAY_CHUNK, 3),
+                                 hist.reshape(nch, RAY_CHUNK, -1)))
+        return {k: v.reshape((n,) + v.shape[2:]) for k, v in res.items()}
+    return _render_chunk(fused, rays_o, rays_d, hist, settings, interpret)
+
+
+def _render_chunk(fused: FusedNeRFH, rays_o, rays_d, hist,
+                  settings: RenderSettings, interpret: bool = False) -> Dict:
     model = fused.model
     n = rays_o.shape[0]
     S = settings.N_samples

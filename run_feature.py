@@ -28,6 +28,32 @@ def dump_args(cfg):
             fh.write(f"{k} = {getattr(cfg, k)}\n")
 
 
+def render_features(cfg, scene, trainer, out_root="./tmp/features"):
+    """Dump per-view saliency maps of DFNet features for real vs rendered
+    images (reference: run_feature.py:313-346 --render_feature_only)."""
+    import jax.numpy as jnp
+
+    from dfnet_tpu.models.dfnet import dfnet_forward
+    from dfnet_tpu.utils.visualization import save_image_saliancy_single
+
+    rgbs = trainer.prerender_train_views()
+    tr = scene.train
+    for sub in ("target", "rgb"):
+        os.makedirs(osp.join(out_root, sub), exist_ok=True)
+    save_i = 2  # feature channel to dump
+    for i in range(len(tr)):
+        x = jnp.stack([jnp.asarray(tr.images[i]), jnp.asarray(rgbs[i])])
+        feats, _, _ = dfnet_forward(
+            trainer.params, trainer.state, x, trainer.model_cfg,
+            return_feature=True, is_single_stream=False, return_pose=False,
+            upsample_h=scene.H, upsample_w=scene.W)
+        ft = feats[0][0, 0, :, :, save_i]
+        fr = feats[1][0, 0, :, :, save_i]
+        save_image_saliancy_single(ft, osp.join(out_root, "target", f"{i:04d}.png"))
+        save_image_saliancy_single(fr, osp.join(out_root, "rgb", f"{i:04d}.png"))
+    print("render features done")
+
+
 def train(argv=None):
     cfg = parse_args(argv, stage="feature")
     if cfg.dataset_type not in ("7Scenes", "Cambridge", "synthetic"):
@@ -45,6 +71,10 @@ def train(argv=None):
 
     if cfg.eval:
         trainer.eval_median_error(scene.val)
+        return
+
+    if cfg.render_feature_only:
+        render_features(cfg, scene, trainer)
         return
 
     dump_args(cfg)
