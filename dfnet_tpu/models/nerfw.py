@@ -147,11 +147,21 @@ def nerfw_apply_rays(
     FLOPs (the per-ray part is computed once per ray, not per sample).
     """
     dt = cfg.compute_dtype
-    h = xyz_emb
+    x0 = xyz_emb.astype(dt)
+    h = x0
     for i in range(cfg.D):
         if i in cfg.skips:
-            h = jnp.concatenate([xyz_emb, h], -1)
-        h = jax.nn.relu(_dense(params[f"xyz_{i}"], h, dt))
+            # split matmul instead of concat([xyz, h]) — avoids
+            # materializing the (P, in_xyz+W) tensor
+            w = params[f"xyz_{i}"]["w"]
+            y = (jnp.dot(x0, w[:cfg.in_xyz].astype(dt),
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(h, w[cfg.in_xyz:].astype(dt),
+                           preferred_element_type=jnp.float32)
+                 + params[f"xyz_{i}"]["b"])
+        else:
+            y = _dense(params[f"xyz_{i}"], h, dt)
+        h = jax.nn.relu(y)
         if dt != jnp.float32:
             h = h.astype(dt)
     static_sigma = jax.nn.softplus(_dense(params["static_sigma"], h, dt))

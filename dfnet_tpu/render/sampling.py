@@ -53,17 +53,31 @@ def sample_pdf(bins, weights, N_importance: int, rng=None, det: bool = False):
     else:
         u = jax.random.uniform(rng, cdf.shape[:-1] + (N_importance,))
 
-    # batched searchsorted(right): count of cdf entries <= u. A broadcast
-    # comparison (N, N_importance, M+1) is pure VPU work and orders of
-    # magnitude faster on TPU than a vmapped binary search.
-    inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1).astype(jnp.int32)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    # Gather-free inverse CDF. TPU gathers (take_along_axis) are ~50x
+    # slower than VPU reductions here, so instead of indexing cdf/bins at
+    # searchsorted positions we read them with masked reductions over a
+    # broadcast comparison (N, N_importance, M+1):
+    #   below = last k with cdf[k] <= u   → max over the prefix mask
+    #   above = first k with cdf[k] >  u  → min over the suffix mask
+    # Both cdf and bins are sorted along the last axis, so prefix-max /
+    # suffix-min reproduce the indexed values exactly.
+    le = cdf[..., None, :] <= u[..., :, None]            # (N, I, M+1)
+    neg = jnp.float32(-1e10)
+    pos = jnp.float32(1e10)
+    cdf_e = cdf[..., None, :]
+    bins_e = bins[..., None, :]
 
-    cdf_b = jnp.take_along_axis(cdf, below, -1)
-    cdf_a = jnp.take_along_axis(cdf, above, -1)
-    bins_b = jnp.take_along_axis(bins, below, -1)
-    bins_a = jnp.take_along_axis(bins, above, -1)
+    cdf_b = jnp.max(jnp.where(le, cdf_e, neg), -1)
+    bins_b = jnp.max(jnp.where(le, bins_e, neg), -1)
+    cdf_a = jnp.min(jnp.where(le, pos, cdf_e), -1)
+    bins_a = jnp.min(jnp.where(le, pos, bins_e), -1)
+    # clamp semantics of the reference (below >= 0, above <= M):
+    # u < cdf[0]=0 never happens (u >= 0); u >= cdf[-1] leaves the
+    # "above" masks empty → fall back to the last entry.
+    cdf_b = jnp.where(cdf_b <= neg / 2, cdf[..., :1], cdf_b)
+    bins_b = jnp.where(bins_b <= neg / 2, bins[..., :1], bins_b)
+    cdf_a = jnp.where(cdf_a >= pos / 2, cdf[..., -1:], cdf_a)
+    bins_a = jnp.where(bins_a >= pos / 2, bins[..., -1:], bins_a)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
