@@ -58,10 +58,11 @@ def load_dfnet_params(path: str, cfg_model: DFNetConfig, key=None):
 
 class FeatureTrainer:
     def __init__(self, cfg: Config, scene: SceneData, nerf: Optional[FrozenNeRF],
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, mesh=None):
         self.cfg = cfg
         self.scene = scene
         self.nerf = nerf
+        self.mesh = mesh
         self.model_cfg = DFNetConfig.small() if cfg.DFNet_s else DFNetConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.rng_seed)
         self.rng, key = jax.random.split(rng)
@@ -96,8 +97,18 @@ class FeatureTrainer:
         use_triplet = cfg.tripletloss
         use_rvs = cfg.random_view_synthesis
         optimizer = self.optimizer
+        shard = None
+        if self.mesh is not None:
+            from dfnet_tpu.parallel.mesh import data_sharding
+
+            shard = data_sharding(self.mesh)
 
         def siamese_losses(params, state, targets, rgbs, poses12):
+            if shard is not None:
+                # data-parallel over the image batch: XLA all-reduces
+                # grads over ICI (the DataParallel replacement)
+                targets = jax.lax.with_sharding_constraint(targets, shard)
+                rgbs = jax.lax.with_sharding_constraint(rgbs, shard)
             x = jnp.concatenate([targets, rgbs], 0)
             feats, predict, new_state = dfnet_forward(
                 params, state, x, mcfg, return_feature=True,

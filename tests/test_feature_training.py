@@ -164,3 +164,15 @@ def test_feature_trainer_no_rvs_freezebn(tmp_path):
     # frozen BN scale unchanged by the update
     np.testing.assert_array_equal(
         bn_before, np.asarray(trainer.params["adapt"]["0"]["bn_scale"]))
+
+
+def test_feature_trainer_mesh_sharded(tmp_path):
+    from dfnet_tpu.parallel.mesh import make_mesh
+
+    cfg = feature_cfg(tmp_path, ["--featurenet_batch_size", "4"])
+    nerf = make_nerf()
+    trainer = FeatureTrainer(cfg, SCENE, nerf, mesh=make_mesh(4))
+    rgbs = trainer.prerender_train_views()
+    rng = np.random.default_rng(0)
+    loss = trainer.train_epoch(SCENE.train.images, rgbs, None, None, rng)
+    assert np.isfinite(loss)
