@@ -164,45 +164,68 @@ def nerfw_apply_rays(
         h = jax.nn.relu(y)
         if dt != jnp.float32:
             h = h.astype(dt)
-    static_sigma = jax.nn.softplus(_dense(params["static_sigma"], h, dt))
+    W = cfg.W
     if sigma_only:
-        return static_sigma
+        return jax.nn.softplus(_dense(params["static_sigma"], h, dt))
 
+    # MXU-packing: narrow head matmuls sharing an input are fused into
+    # one matmul and split afterwards — but ONLY in 128-lane-aligned
+    # groups (a (W, W+1) pack pads to two lane tiles and is slower):
+    #   [dir-branch pre | transient-0 pre]   : (W, W//2 + W//2) = (W, W)
+    #   [static_rgb ⊕ transient heads]       : block-diag (2·W//2, out)
+    static_sigma = jax.nn.softplus(_dense(params["static_sigma"], h, dt))
     xyz_final = _dense(params["xyz_final"], h, dt)
 
-    # dir layer: rows [0:W] act on xyz_final (per point); rows [W:W+in_dir]
-    # on dir_emb and [W+in_dir:] on a_emb (both per ray)
     wd = params["dir"]["w"]
-    W = cfg.W
     per_ray = jnp.dot(dir_emb.astype(dt), wd[W:W + cfg.in_dir].astype(dt),
                       preferred_element_type=jnp.float32)
     if cfg.encode_appearance:
         per_ray = per_ray + jnp.dot(a_emb.astype(dt), wd[W + cfg.in_dir:].astype(dt),
                                     preferred_element_type=jnp.float32)
-    d = jnp.dot(xyz_final.astype(dt), wd[:W].astype(dt),
-                preferred_element_type=jnp.float32)
-    d = jax.nn.relu(d + per_ray[:, None, :] + params["dir"]["b"])
-    rgb = _dense(params["static_rgb"], d.astype(dt), dt)
-    if cfg.out_ch == 3:
-        rgb = jax.nn.sigmoid(rgb)
-    static = jnp.concatenate([rgb, static_sigma], -1)
+    per_ray = per_ray + params["dir"]["b"]
+
     if not output_transient:
-        return static
+        d = jnp.dot(xyz_final.astype(dt), wd[:W].astype(dt),
+                    preferred_element_type=jnp.float32)
+        d = jax.nn.relu(d + per_ray[:, None, :])
+        rgb = _dense(params["static_rgb"], d.astype(dt), dt)
+        if cfg.out_ch == 3:
+            rgb = jax.nn.sigmoid(rgb)
+        return jnp.concatenate([rgb, static_sigma], -1)
 
     wt = params["trans_0"]["w"]
     t_per_ray = jnp.dot(t_emb.astype(dt), wt[W:].astype(dt),
-                        preferred_element_type=jnp.float32)
-    t = jnp.dot(xyz_final.astype(dt), wt[:W].astype(dt),
-                preferred_element_type=jnp.float32)
-    t = jax.nn.relu(t + t_per_ray[:, None, :] + params["trans_0"]["b"])
+                        preferred_element_type=jnp.float32) + params["trans_0"]["b"]
+    half = W // 2
+    w_dt = jnp.concatenate([wd[:W], wt[:W]], -1)          # (W, 2*half)
+    dt_pre = jnp.dot(xyz_final.astype(dt), w_dt.astype(dt),
+                     preferred_element_type=jnp.float32)
+    d = jax.nn.relu(dt_pre[..., :half] + per_ray[:, None, :]).astype(dt)
+    t = jax.nn.relu(dt_pre[..., half:] + t_per_ray[:, None, :]).astype(dt)
     for i in (1, 2, 3):
-        t = jax.nn.relu(_dense(params[f"trans_{i}"], t.astype(dt), dt))
-    t_sigma = jax.nn.softplus(_dense(params["trans_sigma"], t, dt))
-    t_rgb = _dense(params["trans_rgb"], t, dt)
+        t = jax.nn.relu(_dense(params[f"trans_{i}"], t, dt)).astype(dt)
+
+    # block-diagonal packed heads over [d | t]
+    oc = cfg.out_ch
+    w_heads = jnp.block([
+        [params["static_rgb"]["w"],
+         jnp.zeros((half, oc + 2), params["static_rgb"]["w"].dtype)],
+        [jnp.zeros((half, oc), params["trans_rgb"]["w"].dtype),
+         jnp.concatenate([params["trans_rgb"]["w"],
+                          params["trans_sigma"]["w"],
+                          params["trans_beta"]["w"]], -1)],
+    ])
+    heads = jnp.dot(jnp.concatenate([d, t], -1), w_heads.astype(dt),
+                    preferred_element_type=jnp.float32)
+    rgb = heads[..., :oc] + params["static_rgb"]["b"]
+    t_rgb = heads[..., oc:2 * oc] + params["trans_rgb"]["b"]
     if cfg.out_ch == 3:
+        rgb = jax.nn.sigmoid(rgb)
         t_rgb = jax.nn.sigmoid(t_rgb)
-    t_beta = jax.nn.softplus(_dense(params["trans_beta"], t, dt))
-    return jnp.concatenate([static, t_rgb, t_sigma, t_beta], -1)
+    t_sigma = jax.nn.softplus(heads[..., 2 * oc:2 * oc + 1]
+                              + params["trans_sigma"]["b"])
+    t_beta = jax.nn.softplus(heads[..., 2 * oc + 1:] + params["trans_beta"]["b"])
+    return jnp.concatenate([rgb, static_sigma, t_rgb, t_sigma, t_beta], -1)
 
 
 # ---------------------------------------------------------------------------
