@@ -60,6 +60,9 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
     pose_avg = None
     if cfg.load_pose_avg_stats:
         pose_avg = load_pose_avg_stats(meta_dir)
+        if pose_avg is None:
+            raise FileNotFoundError(
+                f"--load_pose_avg_stats set but {meta_dir}/pose_avg_stats.txt missing")
 
     kwargs = dict(df=cfg.df, hist_bin=cfg.hist_bin, ret_hist=cfg.encode_hist)
     if cfg.dataset_type == "7Scenes":
@@ -77,6 +80,16 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
     else:
         train = loader(True, cfg.trainskip)
         val = loader(False, cfg.testskip)
+
+    if cfg.save_pose_avg_stats:
+        # one-shot utility: compute + store the train-split pose average
+        # so all stages share one centering frame (load_7Scenes.py:282-295)
+        from dfnet_tpu.pose import average_poses, center_poses
+
+        _, pose_avg_out = center_poses(train.poses.reshape(-1, 3, 4))
+        path = osp.join(meta_dir, "pose_avg_stats.txt")
+        np.savetxt(path, pose_avg_out)
+        print(f"[loader] pose_avg_stats saved to {path}")
 
     _apply_fix_coord(train, val, cfg.dataset_type, pose_avg, world_setup,
                      rescale_coord=(stage == "nerf"))

@@ -49,6 +49,15 @@ def cosine_feature_loss(feature_rgb, feature_target, per_channel: bool = False):
     return 1.0 - jnp.mean(cos)
 
 
+def masked_loss(criterion, f1, f2, valid_mask):
+    """Loss restricted to a validity mask (reference misc.py:332-353):
+    f1 is masked, an elementwise criterion is evaluated, and the result
+    is mask-weighted-averaged. criterion: (a, b) → elementwise loss."""
+    f1 = f1 * valid_mask
+    loss = criterion(f1, f2)
+    return jnp.sum(loss * valid_mask) / jnp.sum(valid_mask)
+
+
 def _pairwise_distance(x, y, eps: float = 1e-6):
     """torch.nn.functional.pairwise_distance: L2 norm of (x-y+eps) over
     the last axis."""

@@ -117,3 +117,62 @@ def test_loader_synthetic():
     cfg = parse_args(["--dataset_type", "synthetic"], stage="nerf")
     scene = load_scene(cfg)
     assert scene.train.images.shape[1:] == (48, 64, 3)
+
+
+def _write_fake_cambridge(root, scene="KingsCollege", n=5, H=32, W=32):
+    from PIL import Image
+
+    for split in ("train", "test"):
+        rgb = osp.join(root, "deepslam_data", "Cambridge", scene, split, "rgb")
+        poses = osp.join(root, "deepslam_data", "Cambridge", scene, split, "poses")
+        os.makedirs(rgb, exist_ok=True)
+        os.makedirs(poses, exist_ok=True)
+        rng = np.random.default_rng(0 if split == "train" else 1)
+        for i in range(n):
+            arr = (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(osp.join(rgb, f"frame{i:05d}.png"))
+            pose = np.eye(4)
+            pose[:3, 3] = rng.normal(size=3)
+            np.savetxt(osp.join(poses, f"frame{i:05d}.txt"), pose)
+    meta = osp.join(root, "Cambridge", scene)
+    os.makedirs(meta, exist_ok=True)
+    with open(osp.join(meta, "world_setup.json"), "w") as fh:
+        json.dump({"near": 0.2, "far": 10, "pose_scale": 0.5, "pose_scale2": 1,
+                   "move_all_cam_vec": [0.0, 0.0, 0.0]}, fh)
+    return osp.join(root, "Cambridge", scene)
+
+
+def test_cambridge_reader_and_loader(tmp_path):
+    from dfnet_tpu.data.cambridge import load_cambridge_split
+
+    datadir = _write_fake_cambridge(str(tmp_path))
+    img_root = osp.join(str(tmp_path), "deepslam_data", "Cambridge")
+    split = load_cambridge_split(img_root, "KingsCollege", train=True, skip=2, df=2.0)
+    assert split.images.shape == (3, 16, 16, 3)
+    assert split.poses.shape == (3, 3, 4)
+
+    cfg = parse_args([
+        "--datadir", datadir, "--dataset_type", "Cambridge",
+        "--df", "2", "--encode_hist",
+    ], stage="nerf")
+    scene = load_scene(cfg, stage="nerf")
+    assert scene.train.images.shape[0] == 5 and scene.val.images.shape[0] == 5
+    # Cambridge fix: rotations remain orthonormal, pose_scale applied
+    for p in scene.train.poses:
+        R = np.asarray(p[:3, :3], dtype=np.float64)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+def test_save_pose_avg_stats(tmp_path):
+    datadir = _write_fake_7scenes(str(tmp_path))
+    cfg = parse_args([
+        "--datadir", datadir, "--dataset_type", "7Scenes",
+        "--save_pose_avg_stats", "--encode_hist",
+    ], stage="nerf")
+    load_scene(cfg, stage="nerf")
+    stats = np.loadtxt(osp.join(datadir, "pose_avg_stats.txt"))
+    assert stats.shape == (3, 4)
+    # and loading them back works
+    cfg2 = cfg.replace(save_pose_avg_stats=False, load_pose_avg_stats=True)
+    scene = load_scene(cfg2, stage="nerf")
+    assert scene.train.poses.shape[-2:] == (3, 4)
