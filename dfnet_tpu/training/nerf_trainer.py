@@ -41,6 +41,23 @@ def exp_decayed_lr(cfg: Config, global_step: int) -> float:
     return cfg.lrate * (0.1 ** (global_step / (cfg.lrate_decay * 1000.0)))
 
 
+def write_video(base: str, frames: np.ndarray, fps: int = 15) -> str:
+    """Write an image sequence as mp4 (falls back to gif when no ffmpeg
+    backend is installed). frames: (N, H, W[, 3]) floats in [0,1]."""
+    import imageio.v2 as imageio
+
+    from dfnet_tpu.models.losses import to8b
+
+    frames8 = to8b(frames)
+    try:
+        path = base + ".mp4"
+        imageio.mimwrite(path, frames8, fps=fps, quality=8)
+    except Exception:
+        path = base + ".gif"
+        imageio.mimwrite(path, frames8, fps=fps)
+    return path
+
+
 class NeRFTrainer:
     """Owns model/params/optimizer and the jitted step/render functions."""
 
@@ -135,10 +152,11 @@ class NeRFTrainer:
 
     def render_split(self, split, savedir: Optional[str] = None,
                      max_images: Optional[int] = None,
-                     stride: int = 1) -> float:
+                     stride: int = 1, video_base: Optional[str] = None) -> float:
         """Render a split at test settings; returns mean PSNR
-        (render_path equivalent, rendering.py:403-458)."""
-        psnrs = []
+        (render_path equivalent, rendering.py:403-458). With video_base,
+        also writes <base>_rgb / <base>_disp videos (render_video_*)."""
+        psnrs, rgbs, disps = [], [], []
         idxs = range(0, len(split), stride)
         if max_images:
             idxs = list(idxs)[:max_images]
@@ -148,6 +166,9 @@ class NeRFTrainer:
             rgb = np.asarray(out["rgb"])
             p = -10.0 * np.log10(np.mean(np.square(rgb - split.images[i])))
             psnrs.append(p)
+            if video_base:
+                rgbs.append(rgb)
+                disps.append(np.asarray(out["disp"]))
             if savedir:
                 os.makedirs(savedir, exist_ok=True)
                 import imageio.v2 as imageio
@@ -155,6 +176,13 @@ class NeRFTrainer:
                 imageio.imwrite(osp.join(savedir, f"{j:03d}.png"), to8b(rgb))
                 imageio.imwrite(osp.join(savedir, f"{j:03d}_GT.png"),
                                 to8b(split.images[i]))
+                disp = np.asarray(out["disp"])
+                imageio.imwrite(osp.join(savedir, f"{j:03d}_disp.png"),
+                                to8b(disp / max(disp.max(), 1e-8)))
+        if video_base and rgbs:
+            write_video(video_base + "_rgb", np.stack(rgbs))
+            d = np.stack(disps)
+            write_video(video_base + "_disp", d / max(d.max(), 1e-8))
         return float(np.mean(psnrs))
 
     # ------------------------------------------------------------- ckpt

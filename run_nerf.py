@@ -40,13 +40,42 @@ def train(argv=None):
     trainer = NeRFTrainer(cfg, scene)
     start = trainer.try_resume()
 
+    if cfg.render_pose_only:
+        # spiral video path from a random anchor view (reference
+        # --render_pose_only; load_7Scenes.py:199-236)
+        import numpy as np
+        import jax.numpy as jnp
+
+        from dfnet_tpu.data.view_selection import generate_render_pose
+        from dfnet_tpu.training.nerf_trainer import write_video
+
+        poses = generate_render_pose(
+            scene.train.poses, np.array([scene.near, scene.far]),
+            rng=np.random.default_rng(cfg.rng_seed))
+        frames = []
+        hist = jnp.asarray(scene.train.hists[0])
+        for c2w in poses:
+            out = trainer._render(trainer.params,
+                                  jnp.asarray(c2w, jnp.float32), hist)
+            frames.append(np.asarray(out["rgb"]))
+        expdir = osp.join(cfg.basedir, cfg.expname)
+        os.makedirs(expdir, exist_ok=True)
+        path = write_video(osp.join(expdir, f"spiral_{start:06d}"),
+                           np.stack(frames))
+        print("Saved spiral render video to", path)
+        return None
+
     if cfg.render_test:
         expdir = osp.join(cfg.basedir, cfg.expname)
         tdir = osp.join(expdir, f"evaluate_train_test_{start:06d}")
         vdir = osp.join(expdir, f"evaluate_val_test_{start:06d}")
-        p_train = trainer.render_split(scene.train, savedir=tdir)
+        vt = (osp.join(expdir, f"{cfg.expname}_trainset_{start:06d}_train")
+              if cfg.render_video_train else None)
+        vv = (osp.join(expdir, f"{cfg.expname}_test_{start:06d}_test")
+              if cfg.render_video_test else None)
+        p_train = trainer.render_split(scene.train, savedir=tdir, video_base=vt)
         print(f"Mean PSNR of train run is: {p_train}")
-        p_val = trainer.render_split(scene.val, savedir=vdir)
+        p_val = trainer.render_split(scene.val, savedir=vdir, video_base=vv)
         print(f"Mean PSNR of this run is: {p_val}")
         return p_val
 

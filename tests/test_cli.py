@@ -83,3 +83,17 @@ def test_train_cli_and_eval(tmp_path):
 
     # eval mode
     train_cli.evaluate(dm_argv + ["--eval"])
+
+
+def test_run_nerf_video_and_spiral(tmp_path):
+    import run_nerf
+
+    argv = TINY + ["--basedir", str(tmp_path), "--expname", "nerfh",
+                   "--epochs", "1", "--i_weights", "1", "--i_testset", "1000"]
+    run_nerf.train(argv)
+    run_nerf.train(argv + ["--render_test", "--render_video_test"])
+    vids = list((tmp_path / "nerfh").glob("nerfh_test_*_test_rgb.*"))
+    assert vids, "expected a rendered video file"
+    run_nerf.train(argv + ["--render_pose_only"])
+    spirals = list((tmp_path / "nerfh").glob("spiral_*.*"))
+    assert spirals
