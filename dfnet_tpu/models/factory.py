@@ -84,5 +84,6 @@ def render_settings(cfg: Config, near: float, far: float,
         N_samples=cfg.N_samples, N_importance=cfg.N_importance,
         perturb=cfg.perturb, raw_noise_std=cfg.raw_noise_std,
         lindisp=cfg.lindisp, white_bkgd=cfg.white_bkgd,
-        near=float(near), far=float(far))
+        near=float(near), far=float(far),
+        fine_importance_only=cfg.fine_importance_only)
     return s.test() if test else s

@@ -44,6 +44,11 @@ class RenderSettings:
     test_time: bool = False
     near: float = 0.0
     far: float = 1.0
+    # TPU-fast profile: evaluate the fine MLP at the importance samples
+    # only (not the sorted union with the coarse z's). Halves fine-pass
+    # FLOPs; must be used at BOTH train and test time (the reference
+    # scheme is fine_importance_only=False).
+    fine_importance_only: bool = False
 
     def test(self) -> "RenderSettings":
         return replace(self, perturb=0.0, raw_noise_std=0.0, test_time=True)
@@ -224,7 +229,10 @@ def render_rays(
         z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
                                settings.N_importance, k_pdf,
                                det=(settings.perturb == 0.0))
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        if settings.fine_importance_only:
+            z_all = jnp.sort(z_samples, -1)
+        else:
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
         pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
 
         cfgf = model.cfg_fine
@@ -337,6 +345,7 @@ def render_image(
     settings: RenderSettings,
     chunk: int = 1024 * 8,
     rng: Optional[jax.Array] = None,
+    epoch: Optional[jnp.ndarray] = None,
 ) -> Dict:
     """Full-image render: flatten rays, pad to a chunk multiple, and
     `lax.map` fixed-size blocks (the sequential memory-bounding analog
@@ -356,9 +365,11 @@ def render_image(
     def body(args):
         ro, rd = args
         if isinstance(model, VanillaNeRFModel):
-            r = render_rays_vanilla(params, model, ro, rd, settings, rng)
+            r = render_rays_vanilla(params, model, ro, rd, settings, rng,
+                                    epoch=epoch)
         else:
-            r = render_rays(params, model, ro, rd, hist_b, settings, rng)
+            r = render_rays(params, model, ro, rd, hist_b, settings, rng,
+                            epoch=epoch)
         return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
 
     res = jax.lax.map(body, (rays_o, rays_d))

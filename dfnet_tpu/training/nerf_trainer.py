@@ -90,19 +90,22 @@ class NeRFTrainer:
 
         from dfnet_tpu.render.volume import VanillaNeRFModel, render_rays_vanilla
 
-        def loss_fn(params, rays_o, rays_d, target, hist, rng):
+        def loss_fn(params, rays_o, rays_d, target, hist, rng, epoch):
+            # epoch only matters for the DNeRF windowed embedding
+            # (reduce_embedding==2); None otherwise to avoid tracing it
+            ep = epoch if cfg.reduce_embedding == 2 else None
             if isinstance(model, VanillaNeRFModel):
                 out = render_rays_vanilla(params, model, rays_o, rays_d,
-                                          settings, rng)
+                                          settings, rng, epoch=ep)
             else:
                 out = render_rays(params, model, rays_o, rays_d, hist,
-                                  settings, rng)
+                                  settings, rng, epoch=ep)
             losses = nerfw_loss(out, target)
             loss = sum(losses.values())
             psnr = mse2psnr(img2mse(out["rgb"], target))
             return loss, psnr
 
-        def step(params, opt_state, image, pose, hist, rng, lr):
+        def step(params, opt_state, image, pose, hist, rng, lr, epoch):
             k_sel, k_render = jax.random.split(rng)
             rays_o, rays_d = get_rays(H, W, focal, pose)
             sel = jax.random.permutation(k_sel, H * W)[:n_rand]
@@ -117,7 +120,7 @@ class NeRFTrainer:
                 hist_b = jax.lax.with_sharding_constraint(hist_b, shard)
 
             (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, rays_o, rays_d, target, hist_b, k_render)
+                params, rays_o, rays_d, target, hist_b, k_render, epoch)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -126,9 +129,11 @@ class NeRFTrainer:
         donate = (0, 1) if self.cfg.donate_step else ()
         self._step = jax.jit(step, donate_argnums=donate)
 
-        def render_one(params, pose, hist):
+        def render_one(params, pose, hist, epoch):
+            ep = epoch if cfg.reduce_embedding == 2 else None
             return render_image(params, model, pose, hist, H, W, focal,
-                                self.settings_test, chunk=min(cfg.chunk, H * W))
+                                self.settings_test, chunk=min(cfg.chunk, H * W),
+                                epoch=ep)
 
         self._render = jax.jit(render_one)
 
@@ -146,7 +151,8 @@ class NeRFTrainer:
             self.params, self.opt_state, loss, psnr = self._step(
                 self.params, self.opt_state,
                 jnp.asarray(tr.images[i]), jnp.asarray(tr.poses[i]),
-                jnp.asarray(tr.hists[i]), k, lr)
+                jnp.asarray(tr.hists[i]), k, lr,
+                jnp.float32(epoch))
         self.global_step += 1
         return float(loss), float(psnr)
 
@@ -162,7 +168,8 @@ class NeRFTrainer:
             idxs = list(idxs)[:max_images]
         for j, i in enumerate(idxs):
             out = self._render(self.params, jnp.asarray(split.poses[i]),
-                               jnp.asarray(split.hists[i]))
+                               jnp.asarray(split.hists[i]),
+                               jnp.float32(self.global_step))
             rgb = np.asarray(out["rgb"])
             p = -10.0 * np.log10(np.mean(np.square(rgb - split.images[i])))
             psnrs.append(p)

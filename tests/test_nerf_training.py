@@ -113,3 +113,17 @@ def test_vanilla_nerf_mode_trains():
     assert loss < l0 and psnr > p0
     val = trainer.render_split(scene.val)
     assert val > 8.0
+
+
+def test_dnerf_windowed_embedding_training():
+    """reduce_embedding=2 threads the epoch into the windowed embedder."""
+    cfg = parse_args(TINY + ["--reduce_embedding", "2", "--epochToMaxFreq", "5"],
+                     stage="nerf")
+    scene = make_synthetic_scene(n_train=4, n_val=2, H=16, W=16, seed=2)
+    trainer = NeRFTrainer(cfg, scene)
+    assert trainer.model.embed_xyz.windowed
+    l0, _ = trainer.train_epoch(0)
+    l1, _ = trainer.train_epoch(6)  # past epochToMaxFreq → fully open window
+    assert np.isfinite(l0) and np.isfinite(l1)
+    psnr = trainer.render_split(scene.val)
+    assert np.isfinite(psnr)
