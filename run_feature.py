@@ -81,6 +81,9 @@ def train(argv=None):
     targets = scene.train.images
     rgbs = trainer.prerender_train_views()
 
+    from dfnet_tpu.utils.metrics_logger import MetricsLogger
+
+    mlog = MetricsLogger(osp.join(cfg.basedir, cfg.model_name or "dfnet"))
     rng = np.random.default_rng(cfg.rng_seed)
     poses_perturb = virtue_view = None
     for epoch in range(cfg.epochs + 1):
@@ -92,6 +95,8 @@ def train(argv=None):
         trainer.scheduler.step(val_loss)
         print(f"At epoch {epoch:6d} : train loss: {train_loss:.4f}, "
               f"val loss: {val_loss:.4f}")
+        mlog.log(epoch, train_loss=train_loss, val_loss=val_loss,
+                 lr=trainer.scheduler.lr)
         trainer.early_stopping(val_loss, trainer.checkpoint_tree(), epoch=epoch,
                                save_multiple=(not cfg.no_save_multiple),
                                save_all=cfg.save_all_ckpt)

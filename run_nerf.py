@@ -80,10 +80,15 @@ def train(argv=None):
         return p_val
 
     dump_args(cfg)
+    from dfnet_tpu.utils.metrics_logger import MetricsLogger
+
+    mlog = MetricsLogger(osp.join(cfg.basedir, cfg.expname))
     for epoch in range(start, cfg.epochs + 1):
         t0 = time.time()
         loss, psnr = trainer.train_epoch(epoch)
         dt = time.time() - t0
+        mlog.log(epoch, loss=loss, psnr=psnr, lr=exp_decayed_lr(cfg, epoch),
+                 epoch_s=dt)
         if epoch % cfg.i_print == 0:
             print(f"[TRAIN] Iter: {epoch} Loss: {loss:.5f}  PSNR: {psnr:.3f}  "
                   f"lr: {exp_decayed_lr(cfg, epoch):.2e}  ({dt:.1f}s)")

@@ -151,3 +151,45 @@ def test_unique_view_selection_and_overlap_removal():
     _, val = remove_overlap_data(scene.train, scene.val)
     np.testing.assert_array_equal(val.gt_idx, [0, 2])
     assert val.images.shape[0] == 2
+
+
+def test_metrics_logger(tmp_path):
+    from dfnet_tpu.utils.metrics_logger import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path))
+    m.log(0, loss=1.5, psnr=20.0)
+    m.log(1, loss=1.2, psnr=21.0, note="rvs")
+    recs = m.read()
+    assert len(recs) == 2
+    assert recs[0]["loss"] == 1.5 and recs[1]["note"] == "rvs"
+
+
+def test_conv_autoencoder():
+    import jax
+    import jax.numpy as jnp
+
+    from dfnet_tpu.models.autoencoder import (
+        ConvAutoencoderConfig, autoencoder_forward, init_autoencoder_params)
+
+    params = init_autoencoder_params(jax.random.PRNGKey(0),
+                                     ConvAutoencoderConfig(widths=(8, 16)))
+    x = jnp.ones((2, 16, 16, 3)) * 0.3
+    recon, feats = autoencoder_forward(params, x, return_features=True)
+    assert recon.shape == (2, 16, 16, 3)
+    assert feats.shape == (2, 4, 4, 16)
+    assert (np.asarray(recon) >= 0).all() and (np.asarray(recon) <= 1).all()
+
+
+def test_step_timer_and_trace():
+    import time as _time
+
+    from dfnet_tpu.utils.profiling import StepTimer, device_trace
+
+    t = StepTimer()
+    for _ in range(3):
+        with t.step():
+            _time.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 3 and s["mean_ms"] >= 8
+    with device_trace(None):
+        pass  # no-op path

@@ -41,10 +41,15 @@ def train(argv=None):
     trainer = DMTrainer(cfg, scene, nerf)
     rng = np.random.default_rng(cfg.rng_seed)
 
+    from dfnet_tpu.utils.metrics_logger import MetricsLogger
+
+    mlog = MetricsLogger(osp.join(cfg.basedir, cfg.model_name or "dfnetdm"))
     n_epoch = min(N_EPOCH, cfg.epochs + 1)
     for epoch in range(n_epoch):
         loss, psnr = trainer.train_epoch(rng)
         val_loss, val_psnr = trainer.eval_epoch()
+        mlog.log(epoch, train_loss=loss, train_psnr=psnr,
+                 val_loss=val_loss, val_psnr=val_psnr)
         print(f"At epoch {epoch:4d} : train loss: {loss:.4f}, train psnr: "
               f"{psnr:.4f}, val loss: {val_loss:.4f}, val psnr: {val_psnr:.4f}")
         trainer.early_stopping(val_loss, trainer.checkpoint_tree(), epoch=epoch,
