@@ -134,3 +134,36 @@ def convert_dfnet_checkpoint(pt_path: str, n_levels: int = 3):
         i += 1
     params["fc_pose"] = _t_lin(sd, "fc_pose")
     return params, state
+
+
+def main(argv=None):
+    """CLI: python -m dfnet_tpu.convert <in.tar|in.pt> <out.npz>
+    [--kind nerf|dfnet|vgg16]"""
+    import argparse
+
+    from dfnet_tpu.training.checkpoints import save_pytree
+
+    ap = argparse.ArgumentParser(description="Convert reference torch "
+                                 "checkpoints to dfnet_tpu npz pytrees")
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--kind", choices=["nerf", "dfnet", "vgg16"], default=None)
+    ap.add_argument("--netdepth", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    kind = args.kind
+    if kind is None:
+        kind = "nerf" if args.src.endswith(".tar") else "dfnet"
+    if kind == "nerf":
+        params, meta = convert_nerf_checkpoint(args.src, D=args.netdepth)
+        save_pytree(args.dst, {"params": params}, **meta)
+    elif kind == "dfnet":
+        params, state = convert_dfnet_checkpoint(args.src)
+        save_pytree(args.dst, {"params": params, "state": state})
+    else:
+        save_pytree(args.dst, {"encoder": convert_vgg16_imagenet(args.src)})
+    print(f"converted {args.src} ({kind}) -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

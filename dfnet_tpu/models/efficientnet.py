@@ -204,3 +204,56 @@ def efficientnet_apr_forward(params, state, x,
     pooled = jnp.mean(final, axis=(1, 2))
     pose = pooled @ params["fc_pose"]["w"] + params["fc_pose"]["b"]
     return pose, new_state
+
+
+def convert_efficientnet(sd, variant: str = "b3"):
+    """lukemelas efficientnet_pytorch state_dict → (params, state).
+    Key layout: _conv_stem/_bn0, _blocks.{i}.{_expand_conv,_bn0,
+    _depthwise_conv,_bn1,_se_reduce,_se_expand,_project_conv,_bn2},
+    _conv_head/_bn1. Best-effort (no golden weights available in this
+    environment to verify against)."""
+    import numpy as np
+
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+
+    def conv(name):
+        return jnp.asarray(sd[f"{name}.weight"].transpose(2, 3, 1, 0))
+
+    def conv_b(name):
+        out = {"w": conv(name)}
+        if f"{name}.bias" in sd:
+            out["b"] = jnp.asarray(sd[f"{name}.bias"])
+        return out
+
+    def bn(name):
+        return ({"scale": jnp.asarray(sd[f"{name}.weight"]),
+                 "bias": jnp.asarray(sd[f"{name}.bias"])},
+                {"mean": jnp.asarray(sd[f"{name}.running_mean"]),
+                 "var": jnp.asarray(sd[f"{name}.running_var"])})
+
+    stem_c, blocks, _, _ = efficientnet_structure(variant)
+    params = {"stem": {"w": conv("_conv_stem")}}
+    state = {}
+    params["stem"]["bn"], s0 = bn("_bn0")
+    state["stem"] = {"bn": s0}
+    for bi, (k, cin, cout, stride, expand) in enumerate(blocks):
+        base = f"_blocks.{bi}"
+        bp, bst = {}, {}
+        if expand != 1:
+            bp["expand"] = {"w": conv(f"{base}._expand_conv")}
+            bp["expand"]["bn"], bst["bn_e"] = bn(f"{base}._bn0")
+        bp["dw"] = {"w": conv(f"{base}._depthwise_conv")}
+        bp["dw"]["bn"], bst["bn_d"] = bn(f"{base}._bn1")
+        bp["se_reduce"] = {"w": conv(f"{base}._se_reduce"),
+                           "b": jnp.asarray(sd[f"{base}._se_reduce.bias"])}
+        bp["se_expand"] = {"w": conv(f"{base}._se_expand"),
+                           "b": jnp.asarray(sd[f"{base}._se_expand.bias"])}
+        bp["project"] = {"w": conv(f"{base}._project_conv")}
+        bp["project"]["bn"], bst["bn_p"] = bn(f"{base}._bn2")
+        params[f"block{bi}"] = bp
+        state[f"block{bi}"] = bst
+    params["head"] = {"w": conv("_conv_head")}
+    params["head"]["bn"], s1 = bn("_bn1")
+    state["head"] = {"bn": s1}
+    return params, state
