@@ -25,15 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import PartitionSpec as P
-
 from dfnet_tpu.config import Config
 from dfnet_tpu.data.scene import SceneData
 from dfnet_tpu.models.factory import create_nerfh, render_settings
 from dfnet_tpu.models.losses import img2mse, mse2psnr, nerfw_loss, to8b
-from dfnet_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from dfnet_tpu.parallel.mesh import data_sharding
 from dfnet_tpu.render.rays import get_rays
-from dfnet_tpu.render.volume import NeRFHModel, RenderSettings, render_image, render_rays
+from dfnet_tpu.render.volume import render_image, render_rays
 from dfnet_tpu.training.checkpoints import latest_checkpoint, load_pytree, save_pytree
 
 
