@@ -129,6 +129,7 @@ class Config:
     # ---- TPU-native additions (not in the reference) ----
     precision: str = "fp32"             # fp32 | bf16 — MLP matmul precision
     fine_importance_only: bool = False  # fast profile: fine MLP on importance samples only
+    fused_render: bool = False          # experimental: fused Pallas kernels for test-time renders
     mesh_shape: Optional[int] = None    # data-parallel mesh size; None = all local devices
     donate_step: bool = True            # donate params/opt_state buffers in jitted steps
     rng_seed: int = 0

@@ -78,17 +78,18 @@ def pack_fused_params(params: Dict, cfg: NeRFWConfig, emb_xyz: Embedder,
     def b(p):
         return jnp.asarray(p["b"], jnp.float32)
 
+    perm_j = jnp.asarray(perm)
     out = {
         "pe": jnp.asarray(_pe_matrix(emb_xyz)),
-        "w0": jnp.asarray(np.asarray(params["xyz_0"]["w"])[perm], bf),
+        "w0": jnp.asarray(params["xyz_0"]["w"], bf)[perm_j],
         "b0": b(params["xyz_0"]),
     }
     skip = cfg.skips[0]
     for i in range(1, cfg.D):
         if i == skip:
-            wi = np.asarray(params[f"xyz_{i}"]["w"])
-            out[f"w{i}a"] = jnp.asarray(wi[:cfg.in_xyz][perm], bf)  # xyz part
-            out[f"w{i}b"] = jnp.asarray(wi[cfg.in_xyz:], bf)        # h part
+            wi = jnp.asarray(params[f"xyz_{i}"]["w"], bf)
+            out[f"w{i}a"] = wi[:cfg.in_xyz][perm_j]                 # xyz part
+            out[f"w{i}b"] = wi[cfg.in_xyz:]                         # h part
         else:
             out[f"w{i}"] = w(params[f"xyz_{i}"])
         out[f"b{i}"] = b(params[f"xyz_{i}"])
@@ -97,11 +98,11 @@ def pack_fused_params(params: Dict, cfg: NeRFWConfig, emb_xyz: Embedder,
     out["w_final"] = w(params["xyz_final"])
     out["b_final"] = b(params["xyz_final"])
     W = cfg.W
-    out["w_dir_h"] = jnp.asarray(np.asarray(params["dir"]["w"])[:W], bf)
+    out["w_dir_h"] = jnp.asarray(params["dir"]["w"], bf)[:W]
     out["w_rgb"] = w(params["static_rgb"])
     out["b_rgb"] = b(params["static_rgb"])
     if fine:
-        out["w_t0_h"] = jnp.asarray(np.asarray(params["trans_0"]["w"])[:W], bf)
+        out["w_t0_h"] = jnp.asarray(params["trans_0"]["w"], bf)[:W]
         for i in (1, 2, 3):
             out[f"w_t{i}"] = w(params[f"trans_{i}"])
             out[f"b_t{i}"] = b(params[f"trans_{i}"])
@@ -200,11 +201,19 @@ def _param_specs(packed: Dict):
     return names, specs
 
 
-@functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
 def fused_fine_raw(packed: Dict, pts, dir_part, t_part,
-                   D: int = 8, skip: int = 4, interpret: bool = False):
+                   D: int = 8, skip: int = 4, interpret=None):
     """pts (P,3) bf16/f32, dir_part/t_part (P, W//2) f32 (pre-expanded to
-    points) → raw (P, 9). P % POINT_TILE == 0."""
+    points) → raw (P, 9). P % POINT_TILE == 0. interpret=None →
+    auto-interpret on the CPU backend (Mosaic is TPU-only)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fused_fine_raw(packed, pts, dir_part, t_part, D, skip, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
+def _fused_fine_raw(packed: Dict, pts, dir_part, t_part,
+                    D: int = 8, skip: int = 4, interpret: bool = False):
     n = pts.shape[0]
     names, pspecs = _param_specs(packed)
     kernel = functools.partial(_fine_kernel, D, skip)
@@ -219,10 +228,17 @@ def fused_fine_raw(packed: Dict, pts, dir_part, t_part,
     )(pts, dir_part, t_part, *[packed[k] for k in names])
 
 
-@functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
 def fused_coarse_sigma(packed: Dict, pts,
-                       D: int = 8, skip: int = 4, interpret: bool = False):
-    """pts (P,3) → sigma (P, 1)."""
+                       D: int = 8, skip: int = 4, interpret=None):
+    """pts (P,3) → sigma (P, 1). interpret=None → auto-interpret on CPU."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fused_coarse_sigma(packed, pts, D, skip, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "skip", "interpret"))
+def _fused_coarse_sigma(packed: Dict, pts,
+                        D: int = 8, skip: int = 4, interpret: bool = False):
     n = pts.shape[0]
     names, pspecs = _param_specs(packed)
     kernel = functools.partial(_coarse_kernel, D, skip)

@@ -51,7 +51,7 @@ RAY_CHUNK = 4096  # rays per internal chunk (bounds the expanded-partial buffers
 
 
 def render_rays_fused(fused: FusedNeRFH, rays_o, rays_d, hist,
-                      settings: RenderSettings, interpret: bool = False) -> Dict:
+                      settings: RenderSettings, interpret=None) -> Dict:
     """Test-time render of a ray batch. Internally chunks the ray axis
     with lax.map when the batch exceeds RAY_CHUNK (the per-point
     expansion of the conditioning partials is what bounds memory)."""
@@ -71,7 +71,7 @@ def render_rays_fused(fused: FusedNeRFH, rays_o, rays_d, hist,
 
 
 def _render_chunk(fused: FusedNeRFH, rays_o, rays_d, hist,
-                  settings: RenderSettings, interpret: bool = False) -> Dict:
+                  settings: RenderSettings, interpret=None) -> Dict:
     model = fused.model
     n = rays_o.shape[0]
     S = settings.N_samples

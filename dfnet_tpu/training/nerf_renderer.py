@@ -84,16 +84,58 @@ class FrozenNeRF:
         rf = focal / ts if tiny else focal
         chunk = min(cfg.chunk, rh * rw)
 
-        def render_at_pose(params, pose_apr, hist):
-            """pose_apr: (3,4) in the APR (metric, centered) frame."""
-            pose_nerf = rescale_poses_to_nerf(
-                pose_apr, ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
-            out = render_image(params, model, pose_nerf, hist, rh, rw, rf,
-                               settings, chunk=chunk)
-            rgb = out["rgb"]
-            if tiny:
-                rgb = resize_bicubic(rgb, H, W)
-            return rgb
+        fused = None
+        if cfg.fused_render:
+            from dfnet_tpu.render.fast import FusedNeRFH, render_rays_fused
+
+            import math
+
+            from dfnet_tpu.ops.fused_nerfw import COARSE_TILE, POINT_TILE
+
+            S, I = settings.N_samples, settings.N_importance
+            # pad the ray count so both kernels' point counts land on
+            # whole tiles
+            from dfnet_tpu.render.fast import RAY_CHUNK
+
+            r1 = COARSE_TILE // math.gcd(S, COARSE_TILE)
+            r2 = POINT_TILE // math.gcd(S + I, POINT_TILE)
+            align = r1 * r2 // math.gcd(r1, r2)
+            if rh * rw > RAY_CHUNK:
+                align = align * RAY_CHUNK // math.gcd(align, RAY_CHUNK)
+
+            def render_at_pose(params, pose_apr, hist):
+                """Experimental fused-kernel path (packs weights per call)."""
+                from dfnet_tpu.render.rays import get_rays
+
+                pose_nerf = rescale_poses_to_nerf(
+                    pose_apr, ws["pose_scale"], ws["move_all_cam_vec"],
+                    ws["pose_scale2"])
+                ro, rd = get_rays(rh, rw, rf, pose_nerf)
+                n = rh * rw
+                ro = ro.reshape(-1, 3)
+                rd = rd.reshape(-1, 3)
+                need = (-n) % align
+                if need:
+                    ro = jnp.concatenate([ro, jnp.zeros((need, 3))], 0)
+                    rd = jnp.concatenate([rd, jnp.ones((need, 3))], 0)
+                fobj = FusedNeRFH.pack(params, model)
+                hist_b = jnp.broadcast_to(hist[None], (ro.shape[0],) + hist.shape)
+                out = render_rays_fused(fobj, ro, rd, hist_b, settings)
+                rgb = out["rgb"][:n].reshape(rh, rw, 3)
+                if tiny:
+                    rgb = resize_bicubic(rgb, H, W)
+                return rgb
+        else:
+            def render_at_pose(params, pose_apr, hist):
+                """pose_apr: (3,4) in the APR (metric, centered) frame."""
+                pose_nerf = rescale_poses_to_nerf(
+                    pose_apr, ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
+                out = render_image(params, model, pose_nerf, hist, rh, rw, rf,
+                                   settings, chunk=chunk)
+                rgb = out["rgb"]
+                if tiny:
+                    rgb = resize_bicubic(rgb, H, W)
+                return rgb
 
         self._render_at_pose = jax.jit(render_at_pose)
         self.render_fn = render_at_pose  # un-jitted, for embedding in larger jits

@@ -96,3 +96,28 @@ def test_render_rays_fused_matches_xla_path():
                                atol=0.02)
     np.testing.assert_allclose(np.asarray(got["acc"]), np.asarray(ref["acc"]),
                                atol=0.02)
+
+
+def test_frozen_nerf_fused_flag_interpret():
+    """--fused_render wiring: FrozenNeRF renders through the fused path
+    (interpret-mode kernels on CPU) and matches the XLA path."""
+    from dfnet_tpu.config import parse_args
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
+    from dfnet_tpu.training.nerf_renderer import FrozenNeRF
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, H=16, W=16, seed=0)
+    base = ["--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+            "--N_samples", "64", "--N_importance", "64", "--no_reload"]
+    cfg_x = parse_args(base, stage="nerf")
+    nerf_x = FrozenNeRF(cfg_x, scene.hwf, scene.near, scene.far, scene.world_setup)
+
+    # the kernels auto-interpret on the CPU backend
+    cfg_f = parse_args(base + ["--fused_render"], stage="nerf")
+    nerf_f = FrozenNeRF(cfg_f, scene.hwf, scene.near, scene.far,
+                        scene.world_setup)
+    rgb_f = np.asarray(nerf_f.render_at_pose(scene.val.poses[0],
+                                             scene.val.hists[0]))
+    rgb_x = np.asarray(nerf_x.render_at_pose(scene.val.poses[0],
+                                             scene.val.hists[0]))
+    assert rgb_f.shape == rgb_x.shape == (16, 16, 3)
+    np.testing.assert_allclose(rgb_f, rgb_x, atol=0.03)
