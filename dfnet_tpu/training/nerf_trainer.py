@@ -75,6 +75,12 @@ class NeRFTrainer:
         self.opt_state = self.optimizer.init(self.params)
         self.global_step = 0
 
+        # whole train split lives on device; steps index it there — no
+        # per-step host→device image transfers
+        self._dev_images = jax.device_put(scene.train.images)
+        self._dev_poses = jax.device_put(scene.train.poses)
+        self._dev_hists = jax.device_put(scene.train.hists)
+
         self._build_step()
 
     # ------------------------------------------------------------- step
@@ -103,7 +109,10 @@ class NeRFTrainer:
             psnr = mse2psnr(img2mse(out["rgb"], target))
             return loss, psnr
 
-        def step(params, opt_state, image, pose, hist, rng, lr, epoch):
+        def step(params, opt_state, images, poses, hists, idx, rng, lr, epoch):
+            image = jnp.take(images, idx, axis=0)
+            pose = jnp.take(poses, idx, axis=0)
+            hist = jnp.take(hists, idx, axis=0)
             k_sel, k_render = jax.random.split(rng)
             rays_o, rays_d = get_rays(H, W, focal, pose)
             sel = jax.random.permutation(k_sel, H * W)[:n_rand]
@@ -148,9 +157,8 @@ class NeRFTrainer:
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, loss, psnr = self._step(
                 self.params, self.opt_state,
-                jnp.asarray(tr.images[i]), jnp.asarray(tr.poses[i]),
-                jnp.asarray(tr.hists[i]), k, lr,
-                jnp.float32(epoch))
+                self._dev_images, self._dev_poses, self._dev_hists,
+                jnp.int32(i), k, lr, jnp.float32(epoch))
         self.global_step += 1
         return float(loss), float(psnr)
 
