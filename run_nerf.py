@@ -56,7 +56,8 @@ def train(argv=None):
         hist = jnp.asarray(scene.train.hists[0])
         for c2w in poses:
             out = trainer._render(trainer.params,
-                                  jnp.asarray(c2w, jnp.float32), hist)
+                                  jnp.asarray(c2w, jnp.float32), hist,
+                                  jnp.float32(start))
             frames.append(np.asarray(out["rgb"]))
         expdir = osp.join(cfg.basedir, cfg.expname)
         os.makedirs(expdir, exist_ok=True)
