@@ -136,13 +136,18 @@ class NeRFTrainer:
         donate = (0, 1) if self.cfg.donate_step else ()
         self._step = jax.jit(step, donate_argnums=donate)
 
+        # --render_factor: downsampled eval renders for fast preview
+        rf = max(int(cfg.render_factor), 1) if cfg.render_factor else 1
+        eh, ew, ef = H // rf, W // rf, focal / rf
+
         def render_one(params, pose, hist, epoch):
             ep = epoch if cfg.reduce_embedding == 2 else None
-            return render_image(params, model, pose, hist, H, W, focal,
-                                self.settings_test, chunk=min(cfg.chunk, H * W),
-                                epoch=ep)
+            return render_image(params, model, pose, hist, eh, ew, ef,
+                                self.settings_test,
+                                chunk=min(cfg.chunk, eh * ew), epoch=ep)
 
         self._render = jax.jit(render_one)
+        self._render_factor = rf
 
     # ------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int) -> Tuple[float, float]:
@@ -177,7 +182,12 @@ class NeRFTrainer:
                                jnp.asarray(split.hists[i]),
                                jnp.float32(self.global_step))
             rgb = np.asarray(out["rgb"])
-            p = -10.0 * np.log10(np.mean(np.square(rgb - split.images[i])))
+            gt = split.images[i]
+            if self._render_factor != 1:
+                from dfnet_tpu.data.color import downscale_area
+
+                gt = downscale_area(gt, float(self._render_factor))
+            p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
             psnrs.append(p)
             if video_base:
                 rgbs.append(rgb)
@@ -187,8 +197,7 @@ class NeRFTrainer:
                 import imageio.v2 as imageio
 
                 imageio.imwrite(osp.join(savedir, f"{j:03d}.png"), to8b(rgb))
-                imageio.imwrite(osp.join(savedir, f"{j:03d}_GT.png"),
-                                to8b(split.images[i]))
+                imageio.imwrite(osp.join(savedir, f"{j:03d}_GT.png"), to8b(gt))
                 disp = np.asarray(out["disp"])
                 imageio.imwrite(osp.join(savedir, f"{j:03d}_disp.png"),
                                 to8b(disp / max(disp.max(), 1e-8)))

@@ -127,3 +127,17 @@ def test_dnerf_windowed_embedding_training():
     assert np.isfinite(l0) and np.isfinite(l1)
     psnr = trainer.render_split(scene.val)
     assert np.isfinite(psnr)
+
+
+def test_render_factor_preview():
+    cfg = parse_args(TINY + ["--render_factor", "2"], stage="nerf")
+    scene = make_synthetic_scene(n_train=3, n_val=2, H=16, W=16, seed=3)
+    trainer = NeRFTrainer(cfg, scene)
+    trainer.train_epoch(0)
+    psnr = trainer.render_split(scene.val)
+    assert np.isfinite(psnr)
+    out = trainer._render(trainer.params,
+                          __import__("jax.numpy", fromlist=["x"]).asarray(scene.val.poses[0]),
+                          __import__("jax.numpy", fromlist=["x"]).asarray(scene.val.hists[0]),
+                          __import__("jax.numpy", fromlist=["x"]).float32(0))
+    assert out["rgb"].shape == (8, 8, 3)
