@@ -176,3 +176,17 @@ def test_feature_trainer_mesh_sharded(tmp_path):
     rng = np.random.default_rng(0)
     loss = trainer.train_epoch(SCENE.train.images, rgbs, None, None, rng)
     assert np.isfinite(loss)
+
+
+def test_dfnet_s_variant_end_to_end(tmp_path):
+    """DFNet_s (conv1_2-only) trains through the stage-2 loop."""
+    cfg = feature_cfg(tmp_path, ["--DFNet_s"])
+    nerf = make_nerf()
+    trainer = FeatureTrainer(cfg, SCENE, nerf)
+    assert trainer.model_cfg.hypercolumn_layers == ("conv1_2",)
+    rgbs = trainer.prerender_train_views()
+    rng = np.random.default_rng(0)
+    loss = trainer.train_epoch(SCENE.train.images, rgbs, None, None, rng)
+    assert np.isfinite(loss)
+    median, _ = trainer.eval_median_error()
+    assert np.isfinite(median).all()
