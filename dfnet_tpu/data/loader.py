@@ -84,7 +84,7 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
     if cfg.save_pose_avg_stats:
         # one-shot utility: compute + store the train-split pose average
         # so all stages share one centering frame (load_7Scenes.py:282-295)
-        from dfnet_tpu.pose import average_poses, center_poses
+        from dfnet_tpu.pose import center_poses
 
         _, pose_avg_out = center_poses(train.poses.reshape(-1, 3, 4))
         path = osp.join(meta_dir, "pose_avg_stats.txt")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os.path as osp
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np

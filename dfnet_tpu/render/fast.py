@@ -10,14 +10,13 @@ ray and expanded to points in bf16.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
 from dfnet_tpu.models.nerfw import lookup_hist_embedding
 from dfnet_tpu.ops.fused_nerfw import (
-    POINT_TILE,
     fused_coarse_sigma,
     fused_fine_raw,
     pack_fused_params,

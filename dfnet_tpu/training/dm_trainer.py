@@ -18,7 +18,7 @@ N_rand random rays at the predicted pose for the val PSNR.
 from __future__ import annotations
 
 import os.path as osp
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

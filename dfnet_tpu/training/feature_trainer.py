@@ -21,7 +21,7 @@ freezeBN (then eval-mode stats + masked-out scale/bias updates).
 from __future__ import annotations
 
 import os.path as osp
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,6 @@ from dfnet_tpu.training.callbacks import EarlyStopping, ReduceLROnPlateau
 from dfnet_tpu.training.checkpoints import load_pytree
 from dfnet_tpu.training.eval_pose import get_error_in_q
 from dfnet_tpu.training.feature_losses import (
-    cosine_feature_loss,
     feature_mse,
     pose_loss,
     triplet_loss_hard_negative_mining_plus,

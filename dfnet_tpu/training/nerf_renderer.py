@@ -13,7 +13,7 @@ differentiable w.r.t. the pose (stage 3's core requirement).
 from __future__ import annotations
 
 import os.path as osp
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ import json
 import os
 import os.path as osp
 import time
-from typing import Optional
-
 
 class MetricsLogger:
     def __init__(self, expdir: str, name: str = "metrics"):

@@ -67,7 +67,7 @@ def evaluate(argv=None):
     scene = load_scene(cfg, stage="apr")
     from dfnet_tpu.training.feature_trainer import load_dfnet_params
     from dfnet_tpu.models.dfnet import DFNetConfig, dfnet_forward
-    import jax, jax.numpy as jnp
+    import jax
 
     mcfg = DFNetConfig.small() if cfg.DFNet_s else DFNetConfig()
     params, state = load_dfnet_params(cfg.pretrain_model_path, mcfg)
