@@ -34,13 +34,18 @@ def test_lr_decay_formula():
 
 def test_training_reduces_loss_and_improves_psnr():
     trainer, scene = make_trainer()
-    first_loss, first_psnr = trainer.train_epoch(0)
-    for e in range(1, 15):
+    early, late = [], []
+    for e in range(15):
         loss, psnr = trainer.train_epoch(e)
-    assert np.isfinite(loss)
-    assert loss < first_loss
-    assert psnr > first_psnr
-    assert psnr > 10.0  # synthetic blob scene is easy
+        (early if e < 3 else late).append((loss, psnr))
+    # compare window means — single-step values are stochastic
+    early_loss = np.mean([l for l, _ in early])
+    late_loss = np.mean([l for l, _ in late[-3:]])
+    late_psnr = np.mean([p for _, p in late[-3:]])
+    assert np.isfinite(late_loss)
+    assert late_loss < early_loss
+    assert late_psnr > np.mean([p for _, p in early])
+    assert late_psnr > 10.0  # synthetic blob scene is easy
 
 
 def test_render_split_psnr(tmp_path):
