@@ -378,3 +378,57 @@ def render_image(
         flat = v.reshape((n_chunks * chunk,) + v.shape[2:])[:n]
         out[k] = flat.reshape((H, W) + v.shape[2:])
     return out
+
+
+def render_image_sharded(
+    params: Dict,
+    model: NeRFHModel,
+    c2w: jnp.ndarray,
+    hist: jnp.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    settings: RenderSettings,
+    mesh,
+    chunk: int = 1024 * 8,
+) -> Dict:
+    """SPMD full-image render: the ray axis is sharded over the mesh's
+    'data' axis via shard_map — each chip renders its ray slice with
+    locally chunked `lax.map` blocks, params replicated, no collectives
+    (the TPU-native replacement for the reference's chunk loop at
+    multi-chip scale)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.devices.size
+    rays_o, rays_d = get_rays(H, W, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    n = rays_o.shape[0]
+    per_dev = -(-n // n_dev)
+    per_dev = -(-per_dev // chunk) * chunk   # round up to chunk multiple
+    n_pad = per_dev * n_dev - n
+    rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], 0)
+    rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+    hist_b = jnp.broadcast_to(hist[None], (chunk,) + hist.shape)
+
+    def worker(params, ro, rd, hist_b):
+        nch = ro.shape[0] // chunk
+
+        def body(args):
+            o, d = args
+            r = render_rays(params, model, o, d, hist_b, settings)
+            return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
+
+        res = jax.lax.map(body, (ro.reshape(nch, chunk, 3),
+                                 rd.reshape(nch, chunk, 3)))
+        return {k: v.reshape((nch * chunk,) + v.shape[2:])
+                for k, v in res.items()}
+
+    sharded = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P("data", None), P("data", None), P()),
+        out_specs={"rgb": P("data", None), "disp": P("data"), "acc": P("data")},
+    )
+    res = sharded(params, rays_o, rays_d, hist_b)
+    return {k: v[:n].reshape((H, W) + v.shape[1:]) for k, v in res.items()}

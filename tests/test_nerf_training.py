@@ -146,3 +146,34 @@ def test_render_factor_preview():
                           __import__("jax.numpy", fromlist=["x"]).asarray(scene.val.hists[0]),
                           __import__("jax.numpy", fromlist=["x"]).float32(0))
     assert out["rgb"].shape == (8, 8, 3)
+
+
+def test_render_image_sharded_matches_single():
+    """SPMD full-image render over an 8-device mesh equals the
+    single-device path."""
+    import jax.numpy as jnp
+
+    from dfnet_tpu.models.factory import create_nerfh, render_settings
+    from dfnet_tpu.parallel.mesh import make_mesh
+    from dfnet_tpu.render.volume import render_image, render_image_sharded
+
+    cfg = parse_args([
+        "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+        "--netwidth_fine", "16", "--N_samples", "6", "--N_importance", "6",
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+    ], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    st = render_settings(cfg, 0.3, 3.0, test=True)
+    H, W, f = 12, 16, 14.0
+    c2w = jnp.eye(4)[:3]
+    hist = jnp.zeros((10,), jnp.int32)
+
+    single = render_image(params, model, c2w, hist, H, W, f, st, chunk=16)
+    mesh = make_mesh(8)
+    sharded = jax.jit(
+        lambda p: render_image_sharded(p, model, c2w, hist, H, W, f, st,
+                                       mesh, chunk=8))(params)
+    np.testing.assert_allclose(np.asarray(sharded["rgb"]),
+                               np.asarray(single["rgb"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded["acc"]),
+                               np.asarray(single["acc"]), atol=1e-4)

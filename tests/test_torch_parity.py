@@ -333,3 +333,36 @@ def test_frozen_nerf_loads_reference_tar(tmp_path):
     nerf.load(tar)
     rgb = np.asarray(nerf.render_at_pose(scene.val.poses[0], scene.val.hists[0]))
     assert rgb.shape == (8, 8, 3) and np.isfinite(rgb).all()
+
+
+def test_sample_pdf_matches_torch_reference_formula():
+    """The gather-free inverse-CDF must reproduce the canonical
+    searchsorted+gather formulation (reference rendering.py:24-65)."""
+    from dfnet_tpu.render.sampling import sample_pdf
+
+    torch.manual_seed(3)
+    n, M, I = 17, 63, 64
+    bins_t = torch.sort(torch.rand(n, M) * 3.0, dim=-1).values
+    weights_t = torch.rand(n, M - 1) * 2.0
+
+    # canonical formulation in torch
+    w = weights_t + 1e-5
+    pdf = w / w.sum(-1, keepdim=True)
+    cdf = torch.cumsum(pdf, -1)
+    cdf = torch.cat([torch.zeros_like(cdf[..., :1]), cdf], -1)
+    u = torch.linspace(0.0, 1.0, I).expand(n, I).contiguous()
+    inds = torch.searchsorted(cdf, u, right=True)
+    below = torch.clamp(inds - 1, min=0)
+    above = torch.clamp(inds, max=cdf.shape[-1] - 1)
+    cdf_b = torch.gather(cdf, 1, below)
+    cdf_a = torch.gather(cdf, 1, above)
+    bins_b = torch.gather(bins_t, 1, below)
+    bins_a = torch.gather(bins_t, 1, above)
+    denom = torch.where(cdf_a - cdf_b < 1e-5, torch.ones_like(cdf_b),
+                        cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    ref = (bins_b + t * (bins_a - bins_b)).numpy()
+
+    ours = np.asarray(sample_pdf(jnp.asarray(bins_t.numpy()),
+                                 jnp.asarray(weights_t.numpy()), I, det=True))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
