@@ -140,18 +140,39 @@ class FrozenNeRF:
         self._render_at_pose = jax.jit(render_at_pose)
         self.render_fn = render_at_pose  # un-jitted, for embedding in larger jits
 
+        def render_batch(params, poses, hists):
+            """(V,3,4),(V,hist_bin) → (V,H,W,3): lax.map over views so a
+            whole sweep chunk is one dispatch."""
+            return jax.lax.map(
+                lambda a: render_at_pose(params, a[0], a[1]), (poses, hists))
+
+        self._render_batch = jax.jit(render_batch)
+
     def render_at_pose(self, pose_apr, hist) -> jnp.ndarray:
         """(H, W, 3) rgb at the given APR-frame pose."""
         return self._render_at_pose(self.params, jnp.asarray(pose_apr),
                                     jnp.asarray(hist))
 
+    VIEWS_PER_CALL = 8
+
     def prerender_views(self, poses: np.ndarray, hists: np.ndarray,
                         log_every: int = 10) -> np.ndarray:
         """Render every view (render_nerfw_imgs equivalent,
-        misc.py:203-252). Returns (N, H, W, 3) float32 on host."""
+        misc.py:203-252). Views are batched VIEWS_PER_CALL per dispatch
+        (one jit call renders a whole chunk). Returns (N, H, W, 3)
+        float32 on host."""
+        n = poses.shape[0]
+        v = self.VIEWS_PER_CALL
+        pad = -n % v
+        poses_p = np.concatenate([poses, np.repeat(poses[-1:], pad, 0)], 0) \
+            if pad else poses
+        hists_p = np.concatenate([hists, np.repeat(hists[-1:], pad, 0)], 0) \
+            if pad else hists
         outs = []
-        for i in range(poses.shape[0]):
-            if log_every and i % log_every == 0:
-                print(f"renders {i}/total {poses.shape[0]}")
-            outs.append(np.asarray(self.render_at_pose(poses[i], hists[i])))
-        return np.stack(outs).astype(np.float32)
+        for i in range(0, n + pad, v):
+            if log_every and i % max(log_every, v) == 0:
+                print(f"renders {i}/total {n}")
+            outs.append(np.asarray(self._render_batch(
+                self.params, jnp.asarray(poses_p[i:i + v]),
+                jnp.asarray(hists_p[i:i + v]))))
+        return np.concatenate(outs, 0)[:n].astype(np.float32)
