@@ -86,7 +86,8 @@ def evaluate(argv=None):
 
 
 if __name__ == "__main__":
-    if "--eval" in sys.argv[1:] or any(a.startswith("--eval") for a in sys.argv[1:]):
+    # eval can come from the CLI or from eval=True inside the config file
+    if parse_args(None, stage="dm").eval:
         np.random.seed(0)
         evaluate()
     else:
