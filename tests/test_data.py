@@ -176,3 +176,41 @@ def test_save_pose_avg_stats(tmp_path):
     cfg2 = cfg.replace(save_pose_avg_stats=False, load_pose_avg_stats=True)
     scene = load_scene(cfg2, stage="nerf")
     assert scene.train.poses.shape[-2:] == (3, 4)
+
+
+def test_prefetch_iterator_order_and_device():
+    import jax
+
+    from dfnet_tpu.data.prefetch import PrefetchIterator, epoch_prefetch
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
+
+    # deterministic order, all items delivered once, on device
+    seen = []
+    it = PrefetchIterator(lambda i: {"x": np.full((2, 2), i)}, range(5), depth=2)
+    for b in it:
+        assert isinstance(b["x"], jax.Array)
+        seen.append(int(np.asarray(b["x"])[0, 0]))
+    assert seen == [0, 1, 2, 3, 4]
+    assert len(it) == 5
+
+    # epoch iterator over a Split
+    scene = make_synthetic_scene(n_train=7, n_val=1, H=8, W=8, seed=0)
+    rng = np.random.default_rng(0)
+    batches = list(epoch_prefetch(scene.train, batch_size=2, rng=rng))
+    assert len(batches) == 3  # drop_last
+    imgs, poses, hists = batches[0]
+    assert imgs.shape == (2, 8, 8, 3) and poses.shape == (2, 3, 4)
+
+
+def test_prefetch_propagates_errors():
+    from dfnet_tpu.data.prefetch import PrefetchIterator
+
+    def bad(i):
+        if i == 2:
+            raise ValueError("boom")
+        return {"x": np.zeros(1)}
+
+    it = PrefetchIterator(bad, range(4), depth=1)
+    with pytest.raises(ValueError, match="boom"):
+        for _ in it:
+            pass
