@@ -145,6 +145,16 @@ class DMTrainer:
 
         self._eval_one = jax.jit(eval_one)
 
+        def eval_batch(params, nerf_params, images, poses12, hists, rngs):
+            """lax.map over a chunk of val images — one dispatch for the
+            whole chunk instead of one per image."""
+            return jax.lax.map(
+                lambda a: eval_one(params, nerf_params, a[0], a[1][None],
+                                   a[2], a[3]),
+                (images, poses12, hists, rngs))
+
+        self._eval_batch = jax.jit(eval_batch)
+
         def predict12(params, images):
             _, pose12, _ = dfnet_forward(params, self.state, images, mcfg,
                                          return_feature=False,
@@ -289,19 +299,35 @@ class DMTrainer:
             psnrs.append(float(psnr))
         return float(np.mean(losses)), float(np.mean(psnrs))
 
+    EVAL_CHUNK = 8
+
     def eval_epoch(self) -> Tuple[float, float]:
         """Val pose-MSE + PSNR at the predicted pose
-        (eval_on_epoch equivalent, direct_feature_matching.py:178-233)."""
+        (eval_on_epoch equivalent, direct_feature_matching.py:178-233).
+        Images are evaluated EVAL_CHUNK per dispatch."""
         val = self.scene.val
+        n = len(val)
+        v = self.EVAL_CHUNK
+        pad = -n % v
+        imgs = np.concatenate([val.images, np.repeat(val.images[-1:], pad, 0)], 0) \
+            if pad else val.images
+        poses12 = np.concatenate(
+            [val.poses.reshape(n, 12),
+             np.repeat(val.poses[-1:].reshape(1, 12), pad, 0)], 0) \
+            if pad else val.poses.reshape(n, 12)
+        hists = np.concatenate([val.hists, np.repeat(val.hists[-1:], pad, 0)], 0) \
+            if pad else val.hists
         losses, psnrs = [], []
-        for i in range(len(val)):
+        for i in range(0, n + pad, v):
             self.rng, k = jax.random.split(self.rng)
-            pose_l, psnr = self._eval_one(
-                self.params, self.nerf.params, jnp.asarray(val.images[i]),
-                jnp.asarray(val.poses[i].reshape(1, 12)),
-                jnp.asarray(val.hists[i]), k)
-            losses.append(float(pose_l))
-            psnrs.append(float(psnr))
+            ks = jax.random.split(k, v)
+            pose_l, psnr = self._eval_batch(
+                self.params, self.nerf.params, jnp.asarray(imgs[i:i + v]),
+                jnp.asarray(poses12[i:i + v]), jnp.asarray(hists[i:i + v]), ks)
+            losses.append(np.asarray(pose_l))
+            psnrs.append(np.asarray(psnr))
+        losses = np.concatenate(losses)[:n]
+        psnrs = np.concatenate(psnrs)[:n]
         return float(np.mean(losses)), float(np.mean(psnrs))
 
     def eval_median_error(self, split=None):
