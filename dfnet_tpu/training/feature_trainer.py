@@ -213,21 +213,21 @@ class FeatureTrainer:
         return float(np.mean(losses))
 
     def validate(self) -> float:
-        """Val pose MSE (run_feature.py:389-399)."""
+        """Val pose MSE (run_feature.py:389-399). The whole split is
+        predicted in fixed-size device batches, one host sync at the end."""
         val = self.scene.val
+        n = len(val)
         b = max(self.cfg.val_batch_size, 1)
-        losses = []
-        for i in range(0, len(val), b):
-            imgs = val.images[i:i + b]
-            pad = b - imgs.shape[0]
-            if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
-            pred = np.asarray(self._predict(self.params, self.state,
-                                            jnp.asarray(imgs)))
-            pred = pred[: b - pad] if pad else pred
-            gt = val.poses[i:i + b].reshape(pred.shape[0], 12)
-            losses.append(np.mean((pred - gt) ** 2))
-        return float(np.mean(losses))
+        pad = -n % b
+        imgs = np.concatenate([val.images, np.repeat(val.images[-1:], pad, 0)], 0) \
+            if pad else val.images
+        preds = [self._predict(self.params, self.state, jnp.asarray(imgs[i:i + b]))
+                 for i in range(0, n + pad, b)]
+        pred = np.concatenate([np.asarray(p) for p in preds], 0)[:n]
+        gt = val.poses.reshape(n, 12)
+        # per-batch means of the reference loop == overall mean when n % b == 0;
+        # we use the overall mean (exact, and padding-safe)
+        return float(np.mean((pred - gt) ** 2))
 
     def eval_median_error(self, split=None):
         split = split if split is not None else self.scene.val
