@@ -19,9 +19,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first n_devices local devices.
+
+    Raises (loudly) when fewer devices exist than requested — a silent
+    1-device fallback would let a "multichip" run test nothing."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devs)} are "
+            f"available on platform '{devs[0].platform}'. For a virtual "
+            f"multi-device CPU mesh set jax_platforms=cpu and "
+            f"jax_num_cpu_devices={n} before jax initializes.")
     return Mesh(np.array(devs[:n]), (axis,))
+
+
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the data-parallel mesh the CLIs hand to trainers/renderers:
+    cfg.mesh_shape devices (all local devices if mesh_shape is 0/'all');
+    None (single-device execution, no sharding constraints) when
+    mesh_shape is unset or resolves to one device."""
+    shape = getattr(cfg, "mesh_shape", None)
+    if shape is None:
+        return None
+    n = len(jax.devices()) if int(shape) <= 0 else int(shape)
+    if n <= 1:
+        return None
+    return make_mesh(n)
 
 
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -346,10 +346,16 @@ def render_image(
     chunk: int = 1024 * 8,
     rng: Optional[jax.Array] = None,
     epoch: Optional[jnp.ndarray] = None,
+    shard=None,
 ) -> Dict:
     """Full-image render: flatten rays, pad to a chunk multiple, and
     `lax.map` fixed-size blocks (the sequential memory-bounding analog
-    of the reference's batchify_rays, rendering.py:339-351)."""
+    of the reference's batchify_rays, rendering.py:339-351).
+
+    With `shard` (a NamedSharding over the mesh's 'data' axis) each
+    chunk's ray axis is partition-constrained so GSPMD splits the
+    per-chunk work across the mesh — usable inside larger jits (e.g.
+    stage 3's grad-through-render), unlike the shard_map path below."""
     rays_o, rays_d = get_rays(H, W, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
@@ -360,6 +366,12 @@ def render_image(
     n_chunks = (n + n_pad) // chunk
     rays_o = rays_o.reshape(n_chunks, chunk, 3)
     rays_d = rays_d.reshape(n_chunks, chunk, 3)
+    if shard is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chunk_shard = NamedSharding(shard.mesh, P(None, *shard.spec, None))
+        rays_o = jax.lax.with_sharding_constraint(rays_o, chunk_shard)
+        rays_d = jax.lax.with_sharding_constraint(rays_d, chunk_shard)
     hist_b = jnp.broadcast_to(hist[None], (chunk,) + hist.shape)
 
     def body(args):

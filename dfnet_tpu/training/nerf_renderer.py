@@ -30,11 +30,12 @@ from dfnet_tpu.training.checkpoints import latest_checkpoint, load_pytree
 class FrozenNeRF:
     def __init__(self, cfg: Config, hwf, near: float, far: float,
                  world_setup: Dict, params: Optional[Dict] = None,
-                 model: Optional[NeRFHModel] = None):
+                 model: Optional[NeRFHModel] = None, mesh=None):
         self.cfg = cfg
         self.H, self.W = int(hwf[0]), int(hwf[1])
         self.focal = float(hwf[2])
         self.world_setup = world_setup
+        self.mesh = mesh
         if model is None:
             model, init_params = create_nerfh(cfg, jax.random.PRNGKey(cfg.rng_seed))
             params = params if params is not None else init_params
@@ -45,11 +46,12 @@ class FrozenNeRF:
 
     # ------------------------------------------------------------- loading
     @classmethod
-    def from_experiment(cls, cfg: Config, hwf, near, far, world_setup) -> "FrozenNeRF":
+    def from_experiment(cls, cfg: Config, hwf, near, far, world_setup,
+                        mesh=None) -> "FrozenNeRF":
         """Load the latest stage-1 checkpoint from <basedir>/<expname>
         (create_nerf auto-reload parity, nerfw.py:452-472). Also accepts
         reference .tar checkpoints via the converter."""
-        obj = cls(cfg, hwf, near, far, world_setup)
+        obj = cls(cfg, hwf, near, far, world_setup, mesh=mesh)
         path = cfg.ft_path
         if not path or path == "None":
             expdir = osp.join(cfg.basedir, cfg.expname)
@@ -83,6 +85,11 @@ class FrozenNeRF:
         rh, rw = (int(H // ts), int(W // ts)) if tiny else (H, W)
         rf = focal / ts if tiny else focal
         chunk = min(cfg.chunk, rh * rw)
+        shard = None
+        if self.mesh is not None:
+            from dfnet_tpu.parallel.mesh import data_sharding
+
+            shard = data_sharding(self.mesh)
 
         fused = None
         if cfg.fused_render:
@@ -131,7 +138,7 @@ class FrozenNeRF:
                 pose_nerf = rescale_poses_to_nerf(
                     pose_apr, ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
                 out = render_image(params, model, pose_nerf, hist, rh, rw, rf,
-                                   settings, chunk=chunk)
+                                   settings, chunk=chunk, shard=shard)
                 rgb = out["rgb"]
                 if tiny:
                     rgb = resize_bicubic(rgb, H, W)

@@ -143,7 +143,8 @@ class NeRFTrainer:
             ep = epoch if cfg.reduce_embedding == 2 else None
             return render_image(params, model, pose, hist, eh, ew, ef,
                                 self.settings_test,
-                                chunk=min(cfg.chunk, eh * ew), epoch=ep)
+                                chunk=min(cfg.chunk, eh * ew), epoch=ep,
+                                shard=shard)
 
         self._render = jax.jit(render_one)
         self._render_factor = rf

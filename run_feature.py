@@ -63,11 +63,17 @@ def train(argv=None):
     print(f"[run_feature] NEAR FAR {scene.near} {scene.far} "
           f"train={len(scene.train)} val={len(scene.val)}")
 
+    from dfnet_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        print(f"[run_feature] SPMD over {mesh.devices.size}-device mesh")
     nerf = None
     if not cfg.eval:
         nerf = FrozenNeRF.from_experiment(
-            cfg, scene.hwf, scene.near, scene.far, scene.world_setup)
-    trainer = FeatureTrainer(cfg, scene, nerf)
+            cfg, scene.hwf, scene.near, scene.far, scene.world_setup,
+            mesh=mesh)
+    trainer = FeatureTrainer(cfg, scene, nerf, mesh=mesh)
 
     if cfg.eval:
         trainer.eval_median_error(scene.val)

@@ -37,7 +37,12 @@ def train(argv=None):
     print(f"[run_nerf] NEAR FAR {scene.near} {scene.far} "
           f"train={len(scene.train)} val={len(scene.val)} hwf={scene.hwf}")
 
-    trainer = NeRFTrainer(cfg, scene)
+    from dfnet_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        print(f"[run_nerf] SPMD over {mesh.devices.size}-device mesh")
+    trainer = NeRFTrainer(cfg, scene, mesh=mesh)
     start = trainer.try_resume()
 
     if cfg.render_pose_only:

@@ -97,3 +97,44 @@ def test_run_nerf_video_and_spiral(tmp_path):
     run_nerf.train(argv + ["--render_pose_only"])
     spirals = list((tmp_path / "nerfh").glob("spiral_*.*"))
     assert spirals
+
+
+def test_mesh_shape_cli_equivalence(tmp_path):
+    """--mesh_shape 8 (SPMD over the CPU mesh) trains to the same losses
+    as the unsharded run — the CLI-reachable DataParallel replacement
+    (reference: script/models/nerfw.py:399-400)."""
+    import json
+
+    import run_nerf
+
+    def run(expname, extra):
+        np.random.seed(0)
+        argv = TINY + ["--basedir", str(tmp_path), "--expname", expname,
+                       "--epochs", "2", "--i_weights", "1000",
+                       "--i_testset", "1000", "--rng_seed", "3"] + extra
+        run_nerf.train(argv)
+        with open(tmp_path / expname / "metrics.jsonl") as fh:
+            return [json.loads(l)["loss"] for l in fh if l.strip()]
+
+    losses_single = run("nerfh_single", [])
+    losses_mesh = run("nerfh_mesh", ["--mesh_shape", "8"])
+    assert len(losses_mesh) == len(losses_single) > 0
+    np.testing.assert_allclose(losses_mesh, losses_single, rtol=1e-3)
+
+
+def test_make_mesh_refuses_oversubscription():
+    import jax
+    import pytest as _pytest
+
+    from dfnet_tpu.parallel.mesh import make_mesh, mesh_from_config
+
+    n = len(jax.devices())
+    with _pytest.raises(ValueError):
+        make_mesh(n + 1)
+
+    from dfnet_tpu.config import Config
+
+    assert mesh_from_config(Config(mesh_shape=None)) is None
+    assert mesh_from_config(Config(mesh_shape=1)) is None
+    assert mesh_from_config(Config(mesh_shape=0)).devices.size == n
+    assert mesh_from_config(Config(mesh_shape=n)).devices.size == n

@@ -27,11 +27,18 @@ def _setup(cfg):
     scene = load_scene(cfg, stage="apr")
     print(f"[train] NEAR FAR {scene.near} {scene.far} "
           f"train={len(scene.train)} val={len(scene.val)}")
+    from dfnet_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg)
+    if mesh is not None:
+        print(f"[train] SPMD over {mesh.devices.size}-device mesh "
+              f"(render-at-predicted-pose ray axis)")
     # the reference renders stage-3 at quarter resolution then bicubic-
     # upsamples (half_res=True hardcoded, direct_feature_matching.py:414,341-348)
     nerf_cfg = cfg.replace(tinyimg=True, tinyscale=4.0)
     nerf = FrozenNeRF.from_experiment(
-        nerf_cfg, scene.hwf, scene.near, scene.far, scene.world_setup)
+        nerf_cfg, scene.hwf, scene.near, scene.far, scene.world_setup,
+        mesh=mesh)
     return scene, nerf
 
 
