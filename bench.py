@@ -60,6 +60,32 @@ def main():
     rays_d = jax.random.normal(k2, (n, 3))
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
+    # ---- secondary metric: stage-1 training throughput (fwd+bwd+Adam,
+    # reference workload shape: N_rand=1536, 64+64 samples) so grad-path
+    # regressions are caught too
+    def bench_train_steps():
+        import numpy as np
+
+        from dfnet_tpu.data.synthetic import make_synthetic_scene
+        from dfnet_tpu.training.nerf_trainer import NeRFTrainer
+
+        tcfg = cfg.replace(N_rand=1536)
+        scene = make_synthetic_scene(n_train=8, n_val=1, H=48, W=64,
+                                     focal=60.0, seed=0)
+        trainer = NeRFTrainer(tcfg, scene)
+        trainer.train_epoch(0)  # compile + warm (8 steps, one sync)
+        best = 0.0
+        for _ in range(3):
+            epochs = 4
+            t0 = time.perf_counter()
+            for e in range(epochs):
+                trainer.train_epoch(e + 1)   # syncs once per epoch
+            dt = time.perf_counter() - t0
+            best = max(best, epochs * len(scene.train) / dt)
+        return best
+
+    train_steps_per_sec = bench_train_steps()
+
     float(render_checksum(params, rays_o, rays_d, 0.0))  # compile + warm
 
     # the shared-TPU relay throughput fluctuates run to run; take the
@@ -80,6 +106,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+        "train_steps_per_sec": round(train_steps_per_sec, 1),
     }))
 
 

@@ -131,6 +131,8 @@ class Config:
     fine_importance_only: bool = False  # fast profile: fine MLP on importance samples only
     fused_render: bool = False          # experimental: fused Pallas kernels for test-time renders
     mesh_shape: Optional[int] = None    # data-parallel mesh size; None = all local devices
+    prefetch: int = 0                   # >0: double-buffered host→HBM batches (depth), for
+                                        # larger-than-HBM datasets; 0 = device-resident/sync
     donate_step: bool = True            # donate params/opt_state buffers in jitted steps
     rng_seed: int = 0
     vgg_init_path: str = ""             # converted ImageNet VGG16 .npz (see convert.py)

@@ -34,6 +34,8 @@ def load_cambridge_split(
     df: float = 2.0,
     hist_bin: int = 10,
     ret_hist: bool = True,
+    ret_idx: bool = False,
+    fix_idx: bool = False,
 ) -> Split:
     root = osp.join(data_path, scene, "train" if train else "test")
     rgb_dir = osp.join(root, "rgb")
@@ -55,12 +57,20 @@ def load_cambridge_split(
 
     poses: List[np.ndarray] = []
     images, hists = [], []
-    for i in frame_idx:
+    for j, i in enumerate(frame_idx):
         pose = np.loadtxt(pose_files[i])
         poses.append(pose[:3, :4])
         img = downscale_area(_load_image(rgb_files[i]), df)
         images.append(img)
-        hists.append(luminance_histogram(img, hist_bin) if ret_hist else np.zeros(1, np.int32))
+        if ret_hist:
+            hists.append(luminance_histogram(img, hist_bin))
+        elif ret_idx:
+            # per-image-index embedding label (encode_hist=False):
+            # split position while training, 0 otherwise (fix_idx parity,
+            # reference seven_scenes.py:340-344)
+            hists.append(np.full(1, j if (train and not fix_idx) else 0, np.int32))
+        else:
+            hists.append(np.zeros(1, np.int32))
 
     return Split(
         images=np.stack(images).astype(np.float32),

@@ -48,7 +48,10 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
     """stage: 'nerf' (rescale into NeRF coords) or 'apr' (keep metric frame)."""
     if cfg.dataset_type == "synthetic":
         # 48x64 keeps VGG16's five 2x2 pools valid (each side ≥ 32)
-        return make_synthetic_scene(H=48, W=64, focal=60.0, seed=cfg.rng_seed)
+        scene = make_synthetic_scene(H=48, W=64, focal=60.0, seed=cfg.rng_seed)
+        if cfg.NeRFH and not cfg.encode_hist:
+            _relabel_with_indices(scene, cfg.fix_index)
+        return scene
 
     datadir = cfg.datadir.rstrip("/")
     meta_dir = datadir  # contains world_setup.json / pose_avg_stats.txt
@@ -64,7 +67,9 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
             raise FileNotFoundError(
                 f"--load_pose_avg_stats set but {meta_dir}/pose_avg_stats.txt missing")
 
-    kwargs = dict(df=cfg.df, hist_bin=cfg.hist_bin, ret_hist=cfg.encode_hist)
+    kwargs = dict(df=cfg.df, hist_bin=cfg.hist_bin, ret_hist=cfg.encode_hist,
+                  ret_idx=(cfg.NeRFH and not cfg.encode_hist),
+                  fix_idx=cfg.fix_index)
     if cfg.dataset_type == "7Scenes":
         loader = lambda train, skip: load_seven_scenes_split(
             img_root, scene, train=train, skip=skip, **kwargs)
@@ -103,6 +108,17 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
         near=world_setup["near"], far=world_setup["far"],
         world_setup=world_setup, name=scene,
     )
+
+
+def _relabel_with_indices(scene: SceneData, fix_index: bool):
+    """NeRF-W per-image-index embedding labels (NeRFH with
+    encode_hist=False): train images carry their split position (or 0
+    under --fix_index), val images carry 0 — matching the reference
+    dataset's ret_idx path (seven_scenes.py:340-344)."""
+    n_tr = len(scene.train)
+    tr_idx = np.zeros(n_tr, np.int32) if fix_index else np.arange(n_tr, dtype=np.int32)
+    scene.train.hists = tr_idx[:, None]
+    scene.val.hists = np.zeros((len(scene.val), 1), np.int32)
 
 
 def epoch_permutation(n: int, rng: np.random.Generator) -> np.ndarray:

@@ -42,8 +42,14 @@ def load_seven_scenes_split(
     df: float = 1.0,
     hist_bin: int = 10,
     ret_hist: bool = True,
+    ret_idx: bool = False,
+    fix_idx: bool = False,
 ) -> Split:
-    """Load one split as dense arrays. `skip` plays trainskip/testskip."""
+    """Load one split as dense arrays. `skip` plays trainskip/testskip.
+
+    ret_idx (NeRF-W per-image-index embedding mode, encode_hist=False):
+    the label is the frame's position in the split — 0 for test splits
+    or when fix_idx is set (reference: seven_scenes.py:340-344)."""
     base_dir = osp.join(osp.expanduser(data_path), scene)
     seqs = _read_split_seqs(base_dir, train)
 
@@ -68,11 +74,17 @@ def load_seven_scenes_split(
     pose_arr = np.asarray(poses, dtype=np.float32).reshape(-1, 3, 4)
 
     images, hists = [], []
-    for p in c_imgs:
+    for j, p in enumerate(c_imgs):
         img = _load_image(p)
         img = downscale_area(img, df)
         images.append(img)
-        hists.append(luminance_histogram(img, hist_bin) if ret_hist else np.zeros(1, np.int32))
+        if ret_hist:
+            hists.append(luminance_histogram(img, hist_bin))
+        elif ret_idx:
+            idx = j if (train and not fix_idx) else 0
+            hists.append(np.full(1, idx, np.int32))
+        else:
+            hists.append(np.zeros(1, np.int32))
     return Split(
         images=np.stack(images).astype(np.float32),
         poses=pose_arr,

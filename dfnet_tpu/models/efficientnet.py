@@ -77,8 +77,17 @@ def _bn_init(c):
 
 
 def _conv(x, w, stride=1, groups=1):
+    # TF-style SAME padding (asymmetric for stride>1 on even inputs) —
+    # matches efficientnet_pytorch's Conv2dStaticSamePadding, which the
+    # reference's backbones load (script/feature/efficientnet.py)
     k = w.shape[0]
-    pad = [(k // 2, k // 2), (k // 2, k // 2)]
+
+    def same(size):
+        out = -(-size // stride)
+        total = max((out - 1) * stride + k - size, 0)
+        return (total // 2, total - total // 2)
+
+    pad = [same(x.shape[1]), same(x.shape[2])]
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), pad, feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -45,9 +45,15 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
     params = {"coarse": init_nerfw_params(kc, cfg_coarse)}
     if cfg.N_importance > 0:
         params["fine"] = init_nerfw_params(kf, cfg_fine)
-        emb = init_embeddings(ke, cfg.N_vocab,
-                              n_a=cfg.in_channels_a // cfg.hist_bin,
-                              n_tau=cfg.in_channels_t // cfg.hist_bin)
+        # hist mode: hist_bin rows of (in_a/hist_bin) dims are gathered
+        # and flattened; index mode (encode_hist=False): one full-width
+        # row per frame id (reference nerfw.py:385-391 vs :69-81)
+        if cfg.encode_hist:
+            n_a, n_tau = (cfg.in_channels_a // cfg.hist_bin,
+                          cfg.in_channels_t // cfg.hist_bin)
+        else:
+            n_a, n_tau = cfg.in_channels_a, cfg.in_channels_t
+        emb = init_embeddings(ke, cfg.N_vocab, n_a=n_a, n_tau=n_tau)
         params["embedding_a"] = emb["a"]
         params["embedding_t"] = emb["t"]
 

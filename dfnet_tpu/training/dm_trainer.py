@@ -288,13 +288,20 @@ class DMTrainer:
     def train_epoch(self, rng: np.random.Generator) -> Tuple[float, float]:
         tr = self.scene.train
         order = rng.permutation(len(tr))
+
+        def make_batch(i):
+            return (tr.images[i], tr.poses[i].reshape(1, 12), tr.hists[i])
+
+        if self.cfg.prefetch > 0:
+            from dfnet_tpu.data.prefetch import PrefetchIterator
+
+            it = PrefetchIterator(make_batch, order, depth=self.cfg.prefetch)
+        else:
+            it = (jax.tree.map(jnp.asarray, make_batch(i)) for i in order)
         losses, psnrs = [], []
-        for i in order:
+        for image, pose12, hist in it:
             self.params, self.opt_state, loss, psnr = self._step(
-                self.params, self.opt_state,
-                jnp.asarray(tr.images[i]),
-                jnp.asarray(tr.poses[i].reshape(1, 12)),
-                jnp.asarray(tr.hists[i]))
+                self.params, self.opt_state, image, pose12, hist)
             losses.append(float(loss))
             psnrs.append(float(psnr))
         return float(np.mean(losses)), float(np.mean(psnrs))

@@ -188,27 +188,48 @@ class FeatureTrainer:
         return perturbed, virtual
 
     # ------------------------------------------------------------- epochs
+    @staticmethod
+    def epoch_batches(n: int, b: int, rng: np.random.Generator):
+        """Shuffled full-size index batches covering EVERY image — the
+        reference DataLoader uses drop_last=False (run_feature.py:389) so
+        the tail remainder trains too; static jit shapes require b, so
+        the tail batch wraps around to the permutation head."""
+        order = rng.permutation(n)
+        pad = -n % b
+        if pad:
+            order = np.resize(order, n + pad)  # cyclic wrap (handles n < b)
+        return [order[i:i + b] for i in range(0, len(order), b)]
+
     def train_epoch(self, targets, rgbs, virtue_view, poses_perturb,
                     rng: np.random.Generator) -> float:
         cfg, tr = self.cfg, self.scene.train
         n = len(tr)
         b = cfg.featurenet_batch_size
-        order = rng.permutation(n)
         lr = self.scheduler.lr
         losses = []
-        dummy = jnp.zeros((b, self.scene.H, self.scene.W, 3), jnp.float32)
-        for i in range(0, n - b + 1, b):
-            idx = order[i:i + b]
-            poses12 = jnp.asarray(tr.poses[idx].reshape(b, 12))
+        dummy = np.zeros((b, self.scene.H, self.scene.W, 3), np.float32)
+        dummy12 = np.zeros((b, 12), np.float32)
+
+        def make_batch(idx):
             if cfg.random_view_synthesis:
-                rp = jnp.asarray(virtue_view[idx])
-                pp = jnp.asarray(poses_perturb[idx].reshape(b, 12))
+                rp, pp = virtue_view[idx], poses_perturb[idx].reshape(b, 12)
             else:
-                rp, pp = dummy, jnp.zeros((b, 12), jnp.float32)
+                rp, pp = dummy, dummy12
+            return (targets[idx], rgbs[idx], tr.poses[idx].reshape(b, 12),
+                    rp, pp)
+
+        batches = self.epoch_batches(n, b, rng)
+        if cfg.prefetch > 0:
+            # larger-than-HBM path: a background thread keeps `prefetch`
+            # batches device-committed ahead of the step
+            from dfnet_tpu.data.prefetch import PrefetchIterator
+
+            it = PrefetchIterator(make_batch, batches, depth=cfg.prefetch)
+        else:
+            it = (jax.tree.map(jnp.asarray, make_batch(idx)) for idx in batches)
+        for t, r, p12, rp, pp in it:
             self.params, self.state, self.opt_state, loss = self._step(
-                self.params, self.state, self.opt_state,
-                jnp.asarray(targets[idx]), jnp.asarray(rgbs[idx]),
-                poses12, rp, pp, lr)
+                self.params, self.state, self.opt_state, t, r, p12, rp, pp, lr)
             losses.append(float(loss))
         return float(np.mean(losses))
 

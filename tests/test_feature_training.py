@@ -190,3 +190,35 @@ def test_dfnet_s_variant_end_to_end(tmp_path):
     assert np.isfinite(loss)
     median, _ = trainer.eval_median_error()
     assert np.isfinite(median).all()
+
+
+# ------------------------------------------------------------------ batching
+
+def test_epoch_batches_cover_every_image():
+    """drop_last=False parity (reference run_feature.py:389): with
+    n % b != 0 the tail still trains — every image appears each epoch."""
+    rng = np.random.default_rng(0)
+    for n, b in ((5, 2), (7, 4), (3, 8), (8, 4)):
+        batches = FeatureTrainer.epoch_batches(n, b, np.random.default_rng(1))
+        assert all(len(x) == b for x in batches)
+        assert len(batches) == -(-n // b) or (n < b and len(batches) == 1)
+        seen = set(int(i) for x in batches for i in x)
+        assert seen == set(range(n)), (n, b, seen)
+
+
+def test_prefetch_epoch_matches_sync(tmp_path):
+    """cfg.prefetch routes batches through the double-buffered host→HBM
+    iterator; the training result must be identical to the sync path."""
+    def run(prefetch):
+        cfg = feature_cfg(tmp_path, extra=["--prefetch", str(prefetch),
+                                           "--featurenet_batch_size", "3"])
+        tr = FeatureTrainer(cfg, SCENE, nerf=None, rng=jax.random.PRNGKey(7))
+        loss = tr.train_epoch(SCENE.train.images, SCENE.train.images,
+                              None, None, np.random.default_rng(3))
+        return loss, tr.params
+
+    loss_sync, p_sync = run(0)
+    loss_pre, p_pre = run(2)
+    assert loss_pre == pytest.approx(loss_sync, rel=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+                 p_sync, p_pre)
