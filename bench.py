@@ -31,15 +31,18 @@ CHUNK = 1 << 14
 def main():
     from dfnet_tpu.config import parse_args
     from dfnet_tpu.models.factory import create_nerfh, render_settings
+    from dfnet_tpu.render.fast import FastNeRFH, render_rays_fast
     from dfnet_tpu.render.volume import render_rays
 
     precision = "fp32" if "--fp32" in sys.argv else "bf16"
+    use_xla = "--xla_path" in sys.argv  # reference XLA path (no Pallas kernels)
     cfg = parse_args([
         "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
         "--precision", precision,
     ], stage="nerf")
     model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
     settings = render_settings(cfg, 0.0, 2.5, test=True)
+    fast = None if use_xla else FastNeRFH.pack(params, model)
 
     n, chunk = N_RAYS_PER_CALL, CHUNK
     n_chunks = n // chunk
@@ -50,7 +53,12 @@ def main():
         rays_o = rays_o + jitter  # traced arg: distinct work per call, no recompile
         def body(args):
             o, d = args
-            return jnp.sum(render_rays(params, model, o, d, hist, settings)["rgb"])
+            if fast is not None:
+                r = render_rays_fast(fast, o, d, hist, settings,
+                                     exact_union=True, interpret=False)
+            else:
+                r = render_rays(params, model, o, d, hist, settings)
+            return jnp.sum(r["rgb"])
         return jnp.sum(jax.lax.map(
             body, (rays_o.reshape(n_chunks, chunk, 3),
                    rays_d.reshape(n_chunks, chunk, 3))))

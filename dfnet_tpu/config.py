@@ -129,7 +129,7 @@ class Config:
     # ---- TPU-native additions (not in the reference) ----
     precision: str = "fp32"             # fp32 | bf16 — MLP matmul precision
     fine_importance_only: bool = False  # fast profile: fine MLP on importance samples only
-    fused_render: bool = False          # experimental: fused Pallas kernels for test-time renders
+    fast_render: bool = True            # fused Pallas kernels for test-time renders (no-grad paths)
     mesh_shape: Optional[int] = None    # data-parallel mesh size; None = all local devices
     prefetch: int = 0                   # >0: double-buffered host→HBM batches (depth), for
                                         # larger-than-HBM datasets; 0 = device-resident/sync

@@ -1,0 +1,471 @@
+"""Fused Pallas TPU kernels for NeRF-H test-time rendering (transposed).
+
+Layout: FEATURES IN ROWS (sublanes), POINTS IN LANES. Every tensor a
+kernel touches is a clean (128, T) tile; a layer is
+dot(W_T (128,128), h (128,T)) with a per-row bias column. Measured on
+v5e: 0.36 ms marginal per such layer at T-total = 2M points
+(~150 TFLOPS), vs ~0.79 ms for the same matmul as a standalone XLA op.
+
+Why transposed (learned the hard way — see QUALITY.md kernel log):
+  - the point-major kernel needed a (P,128) f32 positional-encoding
+    input materialized by XLA (512 B/point HBM round-trip) because
+    in-kernel lane-broadcasts of per-point scalars are not expressible;
+    transposed, per-point z is a (1,T) ROW that broadcasts over feature
+    rows natively, so rays (o,d) + z go in and positions, PE arguments,
+    and features are all built in VMEM: input traffic is ~12 B/point.
+  - the raw MLP output wants to be consumed channel-wise (sigma, rgb,
+    beta feed different compositing terms). A point-major (P, 9-ish)
+    output puts channels in the MINOR dim, and every XLA consumer then
+    pays a padded-lane relayout (measured +25 ms per 2M-point chunk!).
+    Transposed, the output is already channel-major (16, P): channel c
+    reshapes to a clean (N, S) lanes-along-samples array for free.
+  - per-ray rows (pose, conditioning partials) expand to per-point
+    columns by a one-hot matmul against a constant (128, T) expansion
+    matrix — no HBM repeat, no gathers.
+
+Other rules (unchanged from the point-major experiments):
+  - no jnp.sin in-kernel (Mosaic's sin is ~25x too slow): degree-9 odd
+    polynomial after round-to-nearest period reduction, error ~3e-7;
+  - no other transcendentals in-kernel: outputs are PRE-activation,
+    XLA applies softplus/sigmoid on tiny per-channel arrays;
+  - bf16 operands / f32 accumulation for every matmul; positions, PE
+    arguments and the sine stay f32 (high PE frequencies need ~1e-4
+    argument precision, far beyond bf16);
+  - xyz_final is linear and feeds only the dir/transient branch, so it
+    is folded into one packed matrix at pack time (saves a pass);
+  - the W//2-wide transient sub-MLP rides the same (128, T) stream as
+    the dir branch via [[I,0],[0,W_t]] block weights (identity carry is
+    free on the MXU).
+
+Pass count (fine): trunk 9 (8 layers + skip split) + folded dir/trans 1
++ transient 3 + heads 1 + sigma 1 + expansions ~2 = ~17 per tile.
+
+Test-time only (no autodiff); training keeps the XLA path in
+models/nerfw.py. Functional parity: /root/reference/script/models/
+nerfw.py:220-354 (MLP heads), :97-130 (positional encoding);
+/root/reference/script/models/rendering.py:245-337 (pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dfnet_tpu.models.embedder import Embedder
+from dfnet_tpu.models.nerfw import NeRFWConfig
+
+LANES = 128
+_TWO_PI = 2.0 * np.pi
+
+_SIN_COEFFS = None
+
+
+def _sin_coeffs() -> np.ndarray:
+    """Degree-9 odd fit of sin(2*pi*r), r in [-0.5, 0.5] (max err ~3e-7)."""
+    global _SIN_COEFFS
+    if _SIN_COEFFS is None:
+        r = 0.5 * np.cos(np.linspace(0.0, np.pi, 4001))
+        A = np.stack([r, r**3, r**5, r**7, r**9], -1)
+        c, *_ = np.linalg.lstsq(A, np.sin(_TWO_PI * r), rcond=None)
+        _SIN_COEFFS = c.astype(np.float32)
+    return _SIN_COEFFS
+
+
+def _fast_sin(x):
+    """sin(x) via period reduction + odd degree-9 polynomial (VPU-only)."""
+    c1, c3, c5, c7, c9 = [float(v) for v in _sin_coeffs()]
+    t = x * np.float32(1.0 / _TWO_PI)
+    r = t - jnp.round(t)
+    r2 = r * r
+    return r * (c1 + r2 * (c3 + r2 * (c5 + r2 * (c7 + r2 * c9))))
+
+
+# ---------------------------------------------------------------------------
+# packing (weights transposed: out-features in rows)
+# ---------------------------------------------------------------------------
+
+def _lane_perm(F: int) -> np.ndarray:
+    """kernel feature-row -> reference PE row. Kernel xs rows:
+    [sin args f0..fF (3 each) | cos args | raw xyz | zeros]; reference
+    rows: [xyz(3), sin f0(3), cos f0(3), sin f1(3), ...]."""
+    if 6 * F + 3 > LANES:
+        raise ValueError(f"multires {F} needs {6*F+3} feature rows > {LANES}")
+    perm = np.full((LANES,), -1, np.int64)
+    for k in range(F):
+        for c in range(3):
+            perm[3 * k + c] = 3 + 6 * k + c
+            perm[3 * F + 3 * k + c] = 3 + 6 * k + 3 + c
+    for c in range(3):
+        perm[6 * F + c] = c
+    return perm
+
+
+def pe_matrices(emb: Embedder) -> Tuple[np.ndarray, np.ndarray]:
+    """(M_T, phase_col): xs_t = M_T @ pts_t + phase_col.
+    M_T (LANES, 3) f32, phase_col (LANES, 1) f32. Raw-xyz rows get an
+    identity entry; sin is masked off for rows >= 6F in-kernel."""
+    F = emb.num_freqs
+    bands = emb.freq_bands
+    M = np.zeros((LANES, 3), np.float32)
+    phase = np.zeros((LANES, 1), np.float32)
+    for k in range(F):
+        for c in range(3):
+            M[3 * k + c, c] = bands[k]
+            M[3 * F + 3 * k + c, c] = bands[k]
+            phase[3 * F + 3 * k + c, 0] = np.pi / 2.0
+    for c in range(3):
+        M[6 * F + c, c] = 1.0
+    return M, phase
+
+
+@dataclass(frozen=True)
+class KernelSpec:
+    D: int
+    skip: int
+    F: int
+    fine: bool
+
+
+def _wT(params, name, bf=jnp.bfloat16):
+    return jnp.asarray(params[name]["w"], bf).T
+
+
+def _b_col(params, name):
+    return jnp.asarray(params[name]["b"], jnp.float32)[:, None]
+
+
+def _expand_cols(wT: jnp.ndarray, perm: np.ndarray, scale=None) -> jnp.ndarray:
+    """(out, in_xyz) transposed weight -> (out, LANES): columns placed
+    per `perm`, dead feature rows' columns zero."""
+    out = jnp.zeros((wT.shape[0], LANES), wT.dtype)
+    live = perm >= 0
+    cols = wT[:, perm[live]]
+    if scale is not None:
+        cols = cols * scale[live][None, :]
+    return out.at[:, np.nonzero(live)[0]].set(cols)
+
+
+def pack_trunk_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
+                 freq_window: np.ndarray | None = None) -> Dict:
+    """Transposed trunk packing (shared by coarse and fine). freq_window:
+    optional (F,) multiplier folded into the PE columns (Nerfie
+    annealing frozen at a chosen epoch)."""
+    F = emb.num_freqs
+    perm = _lane_perm(F)
+    scale = None
+    if freq_window is not None:
+        scale = np.ones((LANES,), np.float32)
+        for k in range(F):
+            for c in range(3):
+                scale[3 * k + c] = freq_window[k]
+                scale[3 * F + 3 * k + c] = freq_window[k]
+        scale = jnp.asarray(scale)
+    skip = cfg.skips[0] if cfg.skips and cfg.skips[0] < cfg.D else -1
+    M, phase = pe_matrices(emb)
+    p = {
+        "pe_m": jnp.asarray(M),                       # (LANES, 3) f32
+        "pe_phase": jnp.asarray(phase),               # (LANES, 1) f32
+        "w0": _expand_cols(_wT(params, "xyz_0"), perm, scale),
+        "b_trunk": jnp.stack([_b_col(params, f"xyz_{i}") for i in range(cfg.D)]),
+    }
+    if skip >= 0:
+        p["wskip_x"] = _expand_cols(
+            jnp.asarray(params[f"xyz_{skip}"]["w"][:cfg.in_xyz],
+                        jnp.bfloat16).T, perm, scale)
+        p["wskip_h"] = jnp.asarray(params[f"xyz_{skip}"]["w"][cfg.in_xyz:],
+                                   jnp.bfloat16).T
+    mids = [_wT(params, f"xyz_{i}") for i in range(1, cfg.D) if i != skip]
+    if mids:
+        p["w_mid"] = jnp.stack(mids)
+    return p
+
+
+def pack_coarse_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
+                  freq_window=None) -> Dict:
+    p = pack_trunk_t(params, cfg, emb, freq_window)
+    # sigma row 0 of an (8, W)-padded head (f32 min sublane block is 8)
+    w = jnp.zeros((8, cfg.W), jnp.bfloat16)
+    p["w_sigma8"] = w.at[0].set(jnp.asarray(params["static_sigma"]["w"][:, 0],
+                                            jnp.bfloat16))
+    b = jnp.zeros((8, 1), jnp.float32)
+    p["b_sigma8"] = b.at[0, 0].set(
+        jnp.asarray(params["static_sigma"]["b"], jnp.float32)[0])
+    return p
+
+
+# Fine kernel output rows (PRE-activation), matching composite raw order:
+# rgb(0:3) sigma(3) trgb(4:7) tsigma(7) tbeta(8); rows 9:16 zero.
+FINE_OUT = 9
+OUT_ROWS = 16
+
+
+def pack_fine_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
+                freq_window=None) -> Dict:
+    p = pack_trunk_t(params, cfg, emb, freq_window)
+    W = cfg.W
+    half = W // 2
+    f32 = jnp.float32
+    if cfg.out_ch != 3:
+        raise ValueError("fused fine kernel supports out_ch=3 only")
+    w_final = jnp.asarray(params["xyz_final"]["w"], f32)
+    b_final = jnp.asarray(params["xyz_final"]["b"], f32)
+    wd_h = jnp.asarray(params["dir"]["w"], f32)[:W]
+    wt_h = jnp.asarray(params["trans_0"]["w"], f32)[:W]
+    w_dt = jnp.concatenate([wd_h, wt_h], -1)              # (W, 2*half)
+    # dt_pre = (W_final @ [wd|wt])^T @ h + (b_final @ [wd|wt])^T
+    p["w_dt"] = (w_final @ w_dt).T.astype(jnp.bfloat16)   # (LANES, W)
+    p["b_dt_fold"] = (b_final @ w_dt)[:, None]            # (LANES, 1) f32
+    eye = jnp.eye(half, dtype=f32)
+    w_tr, b_tr = [], []
+    for i in (1, 2, 3):
+        wt = jnp.asarray(params[f"trans_{i}"]["w"], f32)
+        w_tr.append(jnp.block([[eye, jnp.zeros((half, half), f32)],
+                               [jnp.zeros((half, half), f32), wt]]
+                              ).T.astype(jnp.bfloat16))
+        b_tr.append(jnp.concatenate(
+            [jnp.zeros((half,), f32),
+             jnp.asarray(params[f"trans_{i}"]["b"], f32)])[:, None])
+    p["w_trans"] = jnp.stack(w_tr)                        # (3, LANES, LANES)
+    p["b_trans"] = jnp.stack(b_tr)                        # (3, LANES, 1)
+    # heads^T: rows = output channels, cols = [d | t] features
+    w_heads = jnp.zeros((LANES, W), f32)
+    w_heads = w_heads.at[0:3, :half].set(
+        jnp.asarray(params["static_rgb"]["w"], f32).T)
+    w_heads = w_heads.at[4:7, half:].set(
+        jnp.asarray(params["trans_rgb"]["w"], f32).T)
+    w_heads = w_heads.at[7:8, half:].set(
+        jnp.asarray(params["trans_sigma"]["w"], f32).T)
+    w_heads = w_heads.at[8:9, half:].set(
+        jnp.asarray(params["trans_beta"]["w"], f32).T)
+    p["w_heads"] = w_heads.astype(jnp.bfloat16)
+    w_sig = jnp.zeros((LANES, W), jnp.bfloat16)
+    p["w_sigma_pad"] = w_sig.at[3].set(
+        jnp.asarray(params["static_sigma"]["w"][:, 0], jnp.bfloat16))
+    bias = jnp.zeros((LANES, 1), f32)
+    bias = bias.at[0:3, 0].set(jnp.asarray(params["static_rgb"]["b"], f32))
+    bias = bias.at[3, 0].set(jnp.asarray(params["static_sigma"]["b"], f32)[0])
+    bias = bias.at[4:7, 0].set(jnp.asarray(params["trans_rgb"]["b"], f32))
+    bias = bias.at[7, 0].set(jnp.asarray(params["trans_sigma"]["b"], f32)[0])
+    bias = bias.at[8, 0].set(jnp.asarray(params["trans_beta"]["b"], f32)[0])
+    p["b_heads"] = bias
+    return p
+
+
+def per_ray_row(params: Dict, cfg: NeRFWConfig, dir_emb, a_emb, t_emb):
+    """(N, LANES) f32 [dp | tp]: per-ray halves of the dir and
+    transient-0 matmuls, biases folded (the hf half is the kernel's
+    folded w_dt)."""
+    W = cfg.W
+    wd = params["dir"]["w"]
+    dp = dir_emb @ wd[W:W + cfg.in_dir] + params["dir"]["b"]
+    if cfg.encode_appearance and a_emb is not None:
+        dp = dp + a_emb @ wd[W + cfg.in_dir:]
+    wt = params["trans_0"]["w"]
+    tp = t_emb @ wt[W:] + params["trans_0"]["b"]
+    return jnp.concatenate([dp, tp], -1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# ray/tile plumbing (XLA side)
+# ---------------------------------------------------------------------------
+
+def tile_geometry(S: int, target: int = 2048) -> Tuple[int, int]:
+    """(rays_per_tile R, points_per_tile T=R*S), T%128==0, T near target.
+    R is capped at LANES (the one-hot expansion matrix has LANES rows)."""
+    R = max(1, min(LANES, target // S))
+    while R > 1 and (R * S) % 128 != 0:
+        R -= 1
+    T = R * S
+    if T % 128 != 0:
+        raise ValueError(f"cannot tile S={S} into 128-aligned point tiles")
+    return R, T
+
+
+def _expand_matrix_t(R: int, S: int) -> np.ndarray:
+    """(LANES, R*S) one-hot: row r lights the lanes of local ray r."""
+    E = np.zeros((LANES, R * S), np.float32)
+    E[np.arange(R * S) // S, np.arange(R * S)] = 1.0
+    return E
+
+
+def od_tiles_of(rays_o, rays_d, R: int) -> jnp.ndarray:
+    """(N,3)+(N,3) -> (G, 8, LANES) f32: per tile, rows 0:3 = o^T,
+    rows 3:6 = d^T for that tile's R rays (lanes R: zero)."""
+    n = rays_o.shape[0]
+    G = n // R
+    od = jnp.concatenate([rays_o, rays_d], -1).astype(jnp.float32)  # (N, 6)
+    od = od.reshape(G, R, 6)
+    od = jnp.transpose(od, (0, 2, 1))                                # (G, 6, R)
+    tiles = jnp.zeros((G, 8, LANES), jnp.float32)
+    return tiles.at[:, :6, :R].set(od)
+
+
+def dpt_tiles_of(dpt: jnp.ndarray, R: int) -> jnp.ndarray:
+    """(N, Wd<=LANES) per-ray rows -> (G, LANES, LANES) bf16 transposed
+    tiles: [g, :Wd, r] is ray g*R+r's row."""
+    n, wd = dpt.shape
+    G = n // R
+    t = jnp.transpose(dpt.reshape(G, R, wd), (0, 2, 1)).astype(jnp.bfloat16)
+    tiles = jnp.zeros((G, LANES, LANES), jnp.bfloat16)
+    return tiles.at[:, :wd, :R].set(t)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _dot(w, h):
+    if jax.default_backend() == "cpu":
+        # interpret mode (tests): the eager CPU runtime lacks bf16 dot
+        # kernels for some shapes — upcast (trace-time constant branch)
+        w, h = w.astype(jnp.float32), h.astype(jnp.float32)
+    return jax.lax.dot_general(w, h, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _pts_to_x0(p, od, z_row, exp_f32, F: int):
+    """(8,LANES) od tile + (1,T) z row -> (LANES,T) bf16 PE features."""
+    od6 = _dot(od[:6].astype(jnp.float32), exp_f32)     # (6, T) f32
+    pts_t = od6[0:3] + od6[3:6] * z_row                 # (3, T)
+    xs = _dot(p["pe_m"], pts_t) + p["pe_phase"]         # (LANES, T) f32
+    row = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+    return jnp.where(row < 6 * F, _fast_sin(xs), xs).astype(jnp.bfloat16)
+
+
+def _trunk_t(p, x0, spec: KernelSpec):
+    b = p["b_trunk"]
+    h = jnp.maximum(_dot(p["w0"], x0) + b[0], 0.0).astype(jnp.bfloat16)
+    mid = 0
+    for i in range(1, spec.D):
+        if i == spec.skip:
+            y = _dot(p["wskip_x"], x0) + _dot(p["wskip_h"], h) + b[i]
+        else:
+            y = _dot(p["w_mid"][mid], h) + b[i]
+            mid += 1
+        h = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    return h
+
+
+def _coarse_kernel_t(spec: KernelSpec, S: int, near: float, far: float,
+                     lindisp: bool, names, *refs):
+    od_ref, out_ref = refs[0], refs[-1]
+    p = {k: r[...] for k, r in zip(names, refs[1:-2])}
+    exp_f32 = refs[-2][...]
+    T = out_ref.shape[-1]
+    # uniform z for lane p: s = p % S (reference stratified_z_vals,
+    # perturb=0): z = near*(1-t) + far*t, t = s/(S-1)
+    lane_s = (jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % S
+              ).astype(jnp.float32)
+    t = lane_s * np.float32(1.0 / (S - 1))
+    if lindisp:
+        z_row = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        z_row = near * (1.0 - t) + far * t
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec.F)
+    h = _trunk_t(p, x0, spec)
+    out_ref[...] = (_dot(p["w_sigma8"], h) + p["b_sigma8"]).astype(jnp.float32)
+
+
+def _fine_kernel_t(spec: KernelSpec, names, *refs):
+    od_ref, z_ref, dpt_ref, out_ref = refs[0], refs[1], refs[2], refs[-1]
+    p = {k: r[...] for k, r in zip(names, refs[3:-3])}
+    exp_f32 = refs[-3][...]
+    exp_bf = refs[-2][...]
+    z_row = z_ref[0][0:1]                               # (1, T) f32
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec.F)
+    h = _trunk_t(p, x0, spec)
+    W = p["w_dt"].shape[0]                              # dir|trans stream width
+    dpt = _dot(dpt_ref[0], exp_bf)[:W]                  # (W, T) f32
+    dt = jnp.maximum(_dot(p["w_dt"], h) + p["b_dt_fold"] + dpt, 0.0
+                     ).astype(jnp.bfloat16)
+    for i in range(3):
+        dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
+                         ).astype(jnp.bfloat16)
+    out = _dot(p["w_heads"], dt) + _dot(p["w_sigma_pad"], h) + p["b_heads"]
+    out_ref[...] = out[:OUT_ROWS].astype(jnp.float32)
+
+
+def _sorted_items(p: Dict):
+    names = sorted(p.keys())
+    return names, [p[k] for k in names]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "S", "near", "far",
+                                             "lindisp", "interpret"))
+def coarse_sigma_t(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
+                   near: float, far: float, lindisp: bool = False,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Coarse sigma-only sweep over in-kernel uniform z samples.
+
+    rays (N,3)x2 -> (N, S) f32 PRE-softplus sigma. N must be a multiple
+    of tile_geometry(S)[0] (pad rays; see fast.py)."""
+    N = rays_o.shape[0]
+    R, T = tile_geometry(S)
+    G = N // R
+    od = od_tiles_of(rays_o, rays_d, R)
+    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    names, vals = _sorted_items(packed)
+    kern = functools.partial(_coarse_kernel_t, spec, S, float(near),
+                             float(far), lindisp, names)
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 1),
+        out_specs=pl.BlockSpec((8, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N * S), jnp.float32),
+        interpret=interpret,
+    )(od, *vals, exp_f32)
+    return out[0].reshape(N, S)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
+               spec: KernelSpec, interpret: bool = False) -> jnp.ndarray:
+    """Fused fine sweep: rays (N,3)x2, z_all (N,S) f32 sorted samples,
+    dpt (N, LANES) per-ray conditioning rows ->
+    (OUT_ROWS, N, S) f32 PRE-activation channel-major raw output
+    [rgb, sigma, trgb, tsigma, tbeta] in rows 0:9."""
+    N, S = z_all.shape
+    R, T = tile_geometry(S)
+    G = N // R
+    od = od_tiles_of(rays_o, rays_d, R)
+    z_tiles = jnp.zeros((G, 8, T), jnp.float32)
+    z_tiles = z_tiles.at[:, 0, :].set(z_all.astype(jnp.float32).reshape(G, T))
+    dpt_tiles = dpt_tiles_of(dpt, R)
+    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    exp_bf = exp_f32.astype(jnp.bfloat16)
+    names, vals = _sorted_items(packed)
+    kern = functools.partial(_fine_kernel_t, spec, names)
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 2),
+        out_specs=pl.BlockSpec((OUT_ROWS, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, N * S), jnp.float32),
+        interpret=interpret,
+    )(od, z_tiles, dpt_tiles, *vals, exp_f32, exp_bf)
+    return out.reshape(OUT_ROWS, N, S)
+
+
+def ray_tile(S: int) -> int:
+    """Rays-per-tile granularity callers must pad N to."""
+    return tile_geometry(S)[0]

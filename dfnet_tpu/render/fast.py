@@ -1,112 +1,261 @@
-"""Fast test-time render path using the fused Pallas kernels.
+"""Fast test-time render path: fused transposed Pallas MLP sweeps +
+structure-of-arrays XLA glue.
 
 Drop-in replacement for render_rays at test time (perturb=0, no noise,
-no gradients): identical sampling + compositing math, with the two MLP
-sweeps (coarse sigma-only, fine full) executed by the fused VMEM kernels
-of ops/fused_nerfw. Per-ray conditioning partials are computed once per
-ray and expanded to points in bf16.
+no gradients): the coarse sigma-only and fine MLP sweeps run as single
+VMEM-resident kernels (ops/nerf_kernels.py) that take RAYS + z samples
+and return channel-major raw outputs; sampling and compositing stay in
+XLA but operate on clean (N, S) lanes-along-samples arrays only (the
+array-of-struct (N, S, 9) layout costs a padded-lane relayout on every
+consumer — measured +25 ms per 2M-point chunk).
+
+Importance-sampling modes:
+  - exact union (reference semantics, rendering.py:296-302): importance
+    samples from the coarse CDF sorted together with the coarse z's;
+  - blended CDF (default): all N_samples+N_importance fine z's drawn in
+    one inverse-CDF pass from  (1-lam)*cdf + lam*uniform,
+    lam = N_samples/total — same marginal density as "uniform union
+    importance", but SORTED by construction: no concat, no (N, 192)
+    sort on the hot path (quality validated in QUALITY.md).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from dfnet_tpu.models.nerfw import lookup_hist_embedding
-from dfnet_tpu.ops.fused_nerfw import (
-    fused_coarse_sigma,
-    fused_fine_raw,
-    pack_fused_params,
-    per_ray_partials,
-)
+from dfnet_tpu.ops import nerf_kernels as nk
 from dfnet_tpu.render.sampling import sample_pdf, stratified_z_vals
-from dfnet_tpu.render.volume import NeRFHModel, RenderSettings, composite_nerfw
+from dfnet_tpu.render.volume import NeRFHModel, RenderSettings
 
 
 @dataclass(frozen=True)
-class FusedNeRFH:
-    """Kernel-packed weights for the fused test-time renderer."""
+class FastNeRFH:
+    """Kernel-packed NeRF-H for fused test-time rendering."""
     model: NeRFHModel
     packed_coarse: Dict
     packed_fine: Dict
-    params: Dict  # original params (for per-ray partials + embeddings)
+    params: Dict                      # original params (per-ray partials)
+    spec_coarse: nk.KernelSpec
+    spec_fine: nk.KernelSpec
 
     @classmethod
-    def pack(cls, params: Dict, model: NeRFHModel) -> "FusedNeRFH":
+    def pack(cls, params: Dict, model: NeRFHModel) -> "FastNeRFH":
+        F = model.embed_xyz.num_freqs
+
+        def eff_skip(c):
+            return c.skips[0] if c.skips and c.skips[0] < c.D else -1
+
         return cls(
             model=model,
-            packed_coarse=pack_fused_params(params["coarse"], model.cfg_coarse,
-                                            model.embed_xyz, fine=False),
-            packed_fine=pack_fused_params(params["fine"], model.cfg_fine,
-                                          model.embed_xyz, fine=True),
+            packed_coarse=nk.pack_coarse_t(params["coarse"], model.cfg_coarse,
+                                           model.embed_xyz),
+            packed_fine=nk.pack_fine_t(params["fine"], model.cfg_fine,
+                                       model.embed_xyz),
             params=params,
+            spec_coarse=nk.KernelSpec(D=model.cfg_coarse.D,
+                                      skip=eff_skip(model.cfg_coarse),
+                                      F=F, fine=False),
+            spec_fine=nk.KernelSpec(D=model.cfg_fine.D,
+                                    skip=eff_skip(model.cfg_fine),
+                                    F=F, fine=True),
         )
 
-
-RAY_CHUNK = 4096  # rays per internal chunk (bounds the expanded-partial buffers)
-
-
-def render_rays_fused(fused: FusedNeRFH, rays_o, rays_d, hist,
-                      settings: RenderSettings, interpret=None) -> Dict:
-    """Test-time render of a ray batch. Internally chunks the ray axis
-    with lax.map when the batch exceeds RAY_CHUNK (the per-point
-    expansion of the conditioning partials is what bounds memory)."""
-    n = rays_o.shape[0]
-    if n > RAY_CHUNK and n % RAY_CHUNK == 0:
-        nch = n // RAY_CHUNK
-
-        def body(args):
-            ro, rd, h = args
-            return _render_chunk(fused, ro, rd, h, settings, interpret)
-
-        res = jax.lax.map(body, (rays_o.reshape(nch, RAY_CHUNK, 3),
-                                 rays_d.reshape(nch, RAY_CHUNK, 3),
-                                 hist.reshape(nch, RAY_CHUNK, -1)))
-        return {k: v.reshape((n,) + v.shape[2:]) for k, v in res.items()}
-    return _render_chunk(fused, rays_o, rays_d, hist, settings, interpret)
+    def ray_align(self, settings: RenderSettings) -> int:
+        """Ray-count alignment both kernels need (pad to a multiple)."""
+        import math
+        rc = nk.ray_tile(settings.N_samples)
+        rf = nk.ray_tile(settings.N_samples + settings.N_importance)
+        return rc * rf // math.gcd(rc, rf)
 
 
-def _render_chunk(fused: FusedNeRFH, rays_o, rays_d, hist,
-                  settings: RenderSettings, interpret=None) -> Dict:
-    model = fused.model
+def _shifted_cumprod_lanes(alphas):
+    """[1, 1-a0, (1-a0)(1-a1), ...] along the last (sample) axis."""
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas[..., :-1]], -1)
+    return jnp.cumprod(shifted, -1)
+
+
+def sample_pdf_blend(bins, weights, n_total: int, lam: float):
+    """One-pass inverse-CDF draw of n_total SORTED samples from
+    (1-lam)*pdf(weights over bins) + lam*uniform(bins[0], bins[-1]).
+    Gather-free masked-reduction scheme (see sampling.sample_pdf).
+    bins: (N, M+1) sorted; weights: (N, M)."""
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+    span = bins[..., -1:] - bins[..., :1]
+    cdf_u = (bins - bins[..., :1]) / jnp.maximum(span, 1e-10)
+    cdf = (1.0 - lam) * cdf + lam * cdf_u
+
+    u = jnp.linspace(0.0, 1.0, n_total)
+    u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_total,))
+
+    le = cdf[..., None, :] <= u[..., :, None]
+    neg, pos = jnp.float32(-1e10), jnp.float32(1e10)
+    cdf_e, bins_e = cdf[..., None, :], bins[..., None, :]
+    cdf_b = jnp.max(jnp.where(le, cdf_e, neg), -1)
+    bins_b = jnp.max(jnp.where(le, bins_e, neg), -1)
+    cdf_a = jnp.min(jnp.where(le, pos, cdf_e), -1)
+    bins_a = jnp.min(jnp.where(le, pos, bins_e), -1)
+    cdf_b = jnp.where(cdf_b <= neg / 2, cdf[..., :1], cdf_b)
+    bins_b = jnp.where(bins_b <= neg / 2, bins[..., :1], bins_b)
+    cdf_a = jnp.where(cdf_a >= pos / 2, cdf[..., -1:], cdf_a)
+    bins_a = jnp.where(bins_a >= pos / 2, bins[..., -1:], bins_a)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return jax.lax.stop_gradient(bins_b + t * (bins_a - bins_b))
+
+
+def composite_soa(raw16, z_all, beta_min: float = 0.1,
+                  white_bkgd: bool = False) -> Dict:
+    """Test-time NeRF-W compositing from channel-major pre-activation
+    raw (16, N, S) + z (N, S). Same math as volume.composite_nerfw
+    (test_time=True): combined rgb, static-only recomposite for
+    depth/disp (reference rendering.py:132-243)."""
+    srgb = jax.nn.sigmoid(raw16[0:3])            # (3, N, S)
+    ssig = jax.nn.softplus(raw16[3])             # (N, S)
+    trgb = jax.nn.sigmoid(raw16[4:7])
+    tsig = jax.nn.softplus(raw16[7])
+
+    deltas = z_all[:, 1:] - z_all[:, :-1]
+    deltas = jnp.concatenate([deltas, 1e2 * jnp.ones_like(deltas[:, :1])], -1)
+    static_alphas = 1.0 - jnp.exp(-deltas * ssig)
+    transient_alphas = 1.0 - jnp.exp(-deltas * tsig)
+    alphas = 1.0 - jnp.exp(-deltas * (ssig + tsig))
+    trans = _shifted_cumprod_lanes(alphas)
+    weights = alphas * trans
+    weights_sum = weights.sum(-1)
+
+    static_w = static_alphas * trans
+    transient_w = transient_alphas * trans
+    static_rgb = jnp.stack([(static_w * srgb[c]).sum(-1) for c in range(3)], -1)
+    if white_bkgd:
+        static_rgb = static_rgb + (1.0 - weights_sum[:, None])
+    transient_rgb = jnp.stack([(transient_w * trgb[c]).sum(-1)
+                               for c in range(3)], -1)
+    rgb = static_rgb + transient_rgb
+
+    # static-only recomposite drives depth/disp at test time
+    s_trans = _shifted_cumprod_lanes(static_alphas)
+    static_w_ = static_alphas * s_trans
+    depth = (static_w_ * z_all).sum(-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(weights_sum, 1e-10))
+    return {"rgb": rgb, "disp": disp, "acc": weights_sum, "depth": depth,
+            "rgb_static_only": jnp.stack(
+                [(static_w_ * srgb[c]).sum(-1) for c in range(3)], -1)}
+
+
+def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
+                     settings: RenderSettings, exact_union: bool = False,
+                     interpret: Optional[bool] = None) -> Dict:
+    """Test-time render of a ray batch through the fused kernels.
+
+    Matches render_rays(test settings) up to bf16 kernel rounding when
+    exact_union=True; the default blended-CDF mode changes only the
+    fine-sample PLACEMENT (same marginal density, sorted by
+    construction). Ray count must be a multiple of fast.ray_align()."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    model = fast.model
     n = rays_o.shape[0]
     S = settings.N_samples
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    near = jnp.full((n, 1), settings.near, rays_o.dtype)
-    far = jnp.full((n, 1), settings.far, rays_o.dtype)
 
+    sig_pre = nk.coarse_sigma_t(fast.packed_coarse, rays_o, rays_d,
+                                fast.spec_coarse, S,
+                                float(settings.near), float(settings.far),
+                                settings.lindisp, interpret=interpret)
+    sigma = jax.nn.softplus(sig_pre)                          # (N, S)
+    near = jnp.full((n, 1), settings.near, jnp.float32)
+    far = jnp.full((n, 1), settings.far, jnp.float32)
     z_vals = stratified_z_vals(near, far, S, None, settings.lindisp, 0.0)
-    pts = (rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]).reshape(-1, 3)
 
-    D, skip = model.cfg_coarse.D, model.cfg_coarse.skips[0]
-    sigma = fused_coarse_sigma(fused.packed_coarse, pts, D=D, skip=skip,
-                               interpret=interpret).reshape(n, S, 1)
-    comp_c = composite_nerfw(sigma, z_vals, output_transient=False, sigma_only=True)
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    deltas = jnp.concatenate([deltas, 1e2 * jnp.ones_like(deltas[:, :1])], -1)
+    alphas = 1.0 - jnp.exp(-deltas * sigma)
+    weights = alphas * _shifted_cumprod_lanes(alphas)
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
-                           settings.N_importance, None, det=True)
-    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
-    n_all = S + settings.N_importance
-    pts_f = (rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]).reshape(-1, 3)
+    if exact_union:
+        z_samples = sample_pdf(z_mid, weights[..., 1:-1],
+                               settings.N_importance, None, det=True)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+    else:
+        n_total = S + settings.N_importance
+        z_all = sample_pdf_blend(z_mid, weights[..., 1:-1], n_total,
+                                 lam=S / n_total)
 
     cfgf = model.cfg_fine
     dir_emb = model.embed_dir(viewdirs)
-    a_emb = lookup_hist_embedding(fused.params["embedding_a"], hist)
-    t_emb = lookup_hist_embedding(fused.params["embedding_t"], hist)
-    dp, tp = per_ray_partials(fused.params["fine"], cfgf, dir_emb, a_emb, t_emb)
-    dp_pts = jnp.repeat(dp.astype(jnp.bfloat16), n_all, axis=0)
-    tp_pts = jnp.repeat(tp.astype(jnp.bfloat16), n_all, axis=0)
+    a_emb = lookup_hist_embedding(fast.params["embedding_a"], hist)
+    t_emb = lookup_hist_embedding(fast.params["embedding_t"], hist)
+    dpt = nk.per_ray_row(fast.params["fine"], cfgf, dir_emb, a_emb, t_emb)
 
-    raw_f = fused_fine_raw(fused.packed_fine, pts_f, dp_pts, tp_pts,
-                           D=cfgf.D, skip=cfgf.skips[0], interpret=interpret)
-    raw_f = raw_f.reshape(n, n_all, 9)
-    comp_f = composite_nerfw(raw_f, z_all, output_transient=True,
-                             beta_min=cfgf.beta_min,
-                             white_bkgd=settings.white_bkgd,
-                             test_time=True, out_ch=cfgf.out_ch)
-    return {"rgb": comp_f["rgb"], "disp": comp_f["disp"], "acc": comp_f["acc"],
-            "depth": comp_f["depth"]}
+    raw16 = nk.fine_raw_t(fast.packed_fine, rays_o, rays_d, z_all, dpt,
+                          fast.spec_fine, interpret=interpret)
+    return composite_soa(raw16, z_all, beta_min=cfgf.beta_min,
+                         white_bkgd=settings.white_bkgd)
+
+
+def fast_path_supported(model, settings: RenderSettings) -> bool:
+    """Whether the fused kernels can serve this model/settings combo
+    (NeRF-H rgb model, tileable sample counts, full-frequency PE)."""
+    if not isinstance(model, NeRFHModel):
+        return False
+    if model.cfg_fine.out_ch != 3 or settings.N_importance <= 0:
+        return False
+    if model.embed_xyz.windowed or model.embed_dir.windowed:
+        return False  # epoch-dependent frequency window -> XLA path
+    if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:
+        return False
+    try:
+        nk.tile_geometry(settings.N_samples)
+        nk.tile_geometry(settings.N_samples + settings.N_importance)
+    except ValueError:
+        return False
+    return True
+
+
+def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
+                      H: int, W: int, focal: float,
+                      settings: RenderSettings, chunk: int = 1024 * 8,
+                      exact_union: bool = True,
+                      interpret: Optional[bool] = None) -> Dict:
+    """Full-image render through the fused kernels (test-time drop-in
+    for volume.render_image: same output dict keys rgb/disp/acc).
+    Packs the weights in-trace (cheap transposes) so it can be jitted
+    with params as an argument."""
+    from dfnet_tpu.render.rays import get_rays
+
+    fast = FastNeRFH.pack(params, model)
+    align = fast.ray_align(settings)
+    chunk = max(chunk // align, 1) * align
+    rays_o, rays_d = get_rays(H, W, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    n = rays_o.shape[0]
+    n_pad = -n % chunk
+    rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], 0)
+    rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
+    n_chunks = (n + n_pad) // chunk
+    hist_b = jnp.broadcast_to(hist[None], (chunk,) + hist.shape)
+
+    def body(args):
+        ro, rd = args
+        r = render_rays_fast(fast, ro, rd, hist_b, settings,
+                             exact_union=exact_union, interpret=interpret)
+        return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
+
+    res = jax.lax.map(body, (rays_o.reshape(n_chunks, chunk, 3),
+                             rays_d.reshape(n_chunks, chunk, 3)))
+    out = {}
+    for k, v in res.items():
+        flat = v.reshape((n_chunks * chunk,) + v.shape[2:])[:n]
+        out[k] = flat.reshape((H, W) + v.shape[2:])
+    return out

@@ -91,67 +91,50 @@ class FrozenNeRF:
 
             shard = data_sharding(self.mesh)
 
-        fused = None
-        if cfg.fused_render:
-            from dfnet_tpu.render.fast import FusedNeRFH, render_rays_fused
+        def render_at_pose(params, pose_apr, hist):
+            """pose_apr: (3,4) in the APR (metric, centered) frame.
+            XLA path — differentiable w.r.t. pose (stage 3 grads)."""
+            pose_nerf = rescale_poses_to_nerf(
+                pose_apr, ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
+            out = render_image(params, model, pose_nerf, hist, rh, rw, rf,
+                               settings, chunk=chunk, shard=shard)
+            rgb = out["rgb"]
+            if tiny:
+                rgb = resize_bicubic(rgb, H, W)
+            return rgb
 
-            import math
+        # no-grad renders (eval sweeps, stage-2/3 pre-renders) go through
+        # the fused Pallas kernels when the model supports them
+        use_fast = False
+        if cfg.fast_render and shard is None:
+            from dfnet_tpu.render.fast import fast_path_supported
 
-            from dfnet_tpu.ops.fused_nerfw import COARSE_TILE, POINT_TILE
+            use_fast = fast_path_supported(model, settings)
+        if use_fast:
+            from dfnet_tpu.render.fast import render_image_fast
 
-            S, I = settings.N_samples, settings.N_importance
-            # pad the ray count so both kernels' point counts land on
-            # whole tiles
-            from dfnet_tpu.render.fast import RAY_CHUNK
-
-            r1 = COARSE_TILE // math.gcd(S, COARSE_TILE)
-            r2 = POINT_TILE // math.gcd(S + I, POINT_TILE)
-            align = r1 * r2 // math.gcd(r1, r2)
-            if rh * rw > RAY_CHUNK:
-                align = align * RAY_CHUNK // math.gcd(align, RAY_CHUNK)
-
-            def render_at_pose(params, pose_apr, hist):
-                """Experimental fused-kernel path (packs weights per call)."""
-                from dfnet_tpu.render.rays import get_rays
-
+            def render_at_pose_nograd(params, pose_apr, hist):
                 pose_nerf = rescale_poses_to_nerf(
                     pose_apr, ws["pose_scale"], ws["move_all_cam_vec"],
                     ws["pose_scale2"])
-                ro, rd = get_rays(rh, rw, rf, pose_nerf)
-                n = rh * rw
-                ro = ro.reshape(-1, 3)
-                rd = rd.reshape(-1, 3)
-                need = (-n) % align
-                if need:
-                    ro = jnp.concatenate([ro, jnp.zeros((need, 3))], 0)
-                    rd = jnp.concatenate([rd, jnp.ones((need, 3))], 0)
-                fobj = FusedNeRFH.pack(params, model)
-                hist_b = jnp.broadcast_to(hist[None], (ro.shape[0],) + hist.shape)
-                out = render_rays_fused(fobj, ro, rd, hist_b, settings)
-                rgb = out["rgb"][:n].reshape(rh, rw, 3)
-                if tiny:
-                    rgb = resize_bicubic(rgb, H, W)
-                return rgb
-        else:
-            def render_at_pose(params, pose_apr, hist):
-                """pose_apr: (3,4) in the APR (metric, centered) frame."""
-                pose_nerf = rescale_poses_to_nerf(
-                    pose_apr, ws["pose_scale"], ws["move_all_cam_vec"], ws["pose_scale2"])
-                out = render_image(params, model, pose_nerf, hist, rh, rw, rf,
-                                   settings, chunk=chunk, shard=shard)
+                out = render_image_fast(params, model, pose_nerf, hist,
+                                        rh, rw, rf, settings, chunk=chunk)
                 rgb = out["rgb"]
                 if tiny:
                     rgb = resize_bicubic(rgb, H, W)
                 return rgb
+        else:
+            render_at_pose_nograd = render_at_pose
 
-        self._render_at_pose = jax.jit(render_at_pose)
-        self.render_fn = render_at_pose  # un-jitted, for embedding in larger jits
+        self._render_at_pose = jax.jit(render_at_pose_nograd)
+        self.render_fn = render_at_pose  # un-jitted, for embedding in larger jits (differentiable)
 
         def render_batch(params, poses, hists):
             """(V,3,4),(V,hist_bin) → (V,H,W,3): lax.map over views so a
             whole sweep chunk is one dispatch."""
             return jax.lax.map(
-                lambda a: render_at_pose(params, a[0], a[1]), (poses, hists))
+                lambda a: render_at_pose_nograd(params, a[0], a[1]),
+                (poses, hists))
 
         self._render_batch = jax.jit(render_batch)
 

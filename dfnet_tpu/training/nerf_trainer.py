@@ -139,12 +139,25 @@ class NeRFTrainer:
         rf = max(int(cfg.render_factor), 1) if cfg.render_factor else 1
         eh, ew, ef = H // rf, W // rf, focal / rf
 
-        def render_one(params, pose, hist, epoch):
-            ep = epoch if cfg.reduce_embedding == 2 else None
-            return render_image(params, model, pose, hist, eh, ew, ef,
-                                self.settings_test,
-                                chunk=min(cfg.chunk, eh * ew), epoch=ep,
-                                shard=shard)
+        use_fast = False
+        if cfg.fast_render and shard is None and cfg.reduce_embedding != 2:
+            from dfnet_tpu.render.fast import fast_path_supported
+
+            use_fast = fast_path_supported(model, self.settings_test)
+        if use_fast:
+            from dfnet_tpu.render.fast import render_image_fast
+
+            def render_one(params, pose, hist, epoch):
+                return render_image_fast(params, model, pose, hist, eh, ew,
+                                         ef, self.settings_test,
+                                         chunk=min(cfg.chunk, eh * ew))
+        else:
+            def render_one(params, pose, hist, epoch):
+                ep = epoch if cfg.reduce_embedding == 2 else None
+                return render_image(params, model, pose, hist, eh, ew, ef,
+                                    self.settings_test,
+                                    chunk=min(cfg.chunk, eh * ew), epoch=ep,
+                                    shard=shard)
 
         self._render = jax.jit(render_one)
         self._render_factor = rf

@@ -1,0 +1,160 @@
+"""Fast render path (fused transposed Pallas kernels) — CPU interpret-mode
+parity against the XLA reference path.
+
+Parity targets: models/nerfw.nerfw_apply_rays (kernel math) and
+render/volume.render_rays at test settings (pipeline). Reference
+semantics: /root/reference/script/models/nerfw.py:220-354,
+rendering.py:245-337.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfnet_tpu.config import parse_args
+from dfnet_tpu.models.factory import create_nerfh, render_settings
+from dfnet_tpu.models.nerfw import lookup_hist_embedding, nerfw_apply_rays
+from dfnet_tpu.ops import nerf_kernels as nk
+from dfnet_tpu.render.fast import (
+    FastNeRFH,
+    fast_path_supported,
+    render_image_fast,
+    render_rays_fast,
+    sample_pdf_blend,
+)
+from dfnet_tpu.render.volume import render_image, render_rays
+
+
+@pytest.fixture(scope="module")
+def nerfh():
+    cfg = parse_args(["--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+                      "--precision", "bf16"], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    return cfg, model, params
+
+
+def test_fine_kernel_matches_xla_mlp(nerfh):
+    cfg, model, params = nerfh
+    cfgf = model.cfg_fine
+    key = jax.random.PRNGKey(1)
+    S = 64
+    N = nk.ray_tile(S) * 2
+    ro = jax.random.normal(key, (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(2), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(jax.random.PRNGKey(3), (N, S)) * 2.0, -1)
+    hist = jax.random.randint(jax.random.PRNGKey(4), (N, cfg.hist_bin), 0, 10)
+
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    viewdirs = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    dir_emb = model.embed_dir(viewdirs)
+    a_emb = lookup_hist_embedding(params["embedding_a"], hist)
+    t_emb = lookup_hist_embedding(params["embedding_t"], hist)
+    want = np.asarray(nerfw_apply_rays(
+        params["fine"], cfgf, model.embed_xyz(pts), dir_emb, a_emb, t_emb,
+        output_transient=True))
+
+    packed = nk.pack_fine_t(params["fine"], cfgf, model.embed_xyz)
+    spec = nk.KernelSpec(D=cfgf.D, skip=cfgf.skips[0],
+                         F=model.embed_xyz.num_freqs, fine=True)
+    dpt = nk.per_ray_row(params["fine"], cfgf, dir_emb, a_emb, t_emb)
+    raw16 = nk.fine_raw_t(packed, ro, rd, z, dpt, spec, interpret=True)
+    got = np.stack([
+        jax.nn.sigmoid(raw16[0]), jax.nn.sigmoid(raw16[1]),
+        jax.nn.sigmoid(raw16[2]), jax.nn.softplus(raw16[3]),
+        jax.nn.sigmoid(raw16[4]), jax.nn.sigmoid(raw16[5]),
+        jax.nn.sigmoid(raw16[6]), jax.nn.softplus(raw16[7]),
+        jax.nn.softplus(raw16[8]),
+    ], -1)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_coarse_kernel_matches_xla_sigma(nerfh):
+    cfg, model, params = nerfh
+    cfgc = model.cfg_coarse
+    S = 64
+    N = nk.ray_tile(S)
+    key = jax.random.PRNGKey(5)
+    ro = jax.random.normal(key, (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(6), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    near, far = 0.0, 2.0
+    t = jnp.linspace(0.0, 1.0, S)
+    z = near * (1 - t) + far * t
+    z = jnp.broadcast_to(z, (N, S))
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    want = np.asarray(nerfw_apply_rays(params["coarse"], cfgc,
+                                       model.embed_xyz(pts),
+                                       sigma_only=True))[..., 0]
+    packed = nk.pack_coarse_t(params["coarse"], cfgc, model.embed_xyz)
+    spec = nk.KernelSpec(D=cfgc.D, skip=cfgc.skips[0],
+                         F=model.embed_xyz.num_freqs, fine=False)
+    got = np.asarray(jax.nn.softplus(
+        nk.coarse_sigma_t(packed, ro, rd, spec, S, near, far,
+                          interpret=True)))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_render_rays_fast_matches_render_rays(nerfh):
+    cfg, model, params = nerfh
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    fast = FastNeRFH.pack(params, model)
+    assert fast_path_supported(model, settings)
+    N = fast.ray_align(settings) * 2
+    key = jax.random.PRNGKey(7)
+    ro = jax.random.normal(key, (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(8), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    hist = jax.random.randint(jax.random.PRNGKey(9), (N, cfg.hist_bin), 0, 10)
+
+    want = render_rays(params, model, ro, rd, hist, settings)
+    got = render_rays_fast(fast, ro, rd, hist, settings, exact_union=True,
+                           interpret=True)
+    for k in ("rgb", "disp", "acc", "depth"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=3e-2, rtol=3e-2)
+
+
+def test_blend_sampling_sorted_and_uniform_limit():
+    # uniform weights + lam=1 -> pure uniform cdf -> exact linspace
+    N, M = 4, 63
+    bins = jnp.broadcast_to(jnp.linspace(0.5, 2.0, M + 1), (N, M + 1))
+    w = jnp.ones((N, M))
+    s = np.asarray(sample_pdf_blend(bins, w, 128, lam=1.0))
+    np.testing.assert_allclose(s, np.broadcast_to(
+        np.linspace(0.5, 2.0, 128), (N, 128)), atol=1e-4)
+    # any lam: samples sorted and inside [bins0, binsM]
+    w2 = jax.random.uniform(jax.random.PRNGKey(0), (N, M)) ** 3
+    s2 = np.asarray(sample_pdf_blend(bins, w2, 96, lam=1 / 3.0))
+    assert (np.diff(s2, axis=-1) >= -1e-6).all()
+    assert (s2 >= 0.5 - 1e-6).all() and (s2 <= 2.0 + 1e-6).all()
+
+
+def test_render_image_fast_matches_render_image(nerfh):
+    cfg, model, params = nerfh
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    H, W, focal = 6, 8, 10.0
+    c2w = jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [0.5]])], -1)
+    hist = jnp.zeros((cfg.hist_bin,), jnp.int32)
+    want = render_image(params, model, c2w, hist, H, W, focal, settings,
+                        chunk=64)
+    got = render_image_fast(params, model, c2w, hist, H, W, focal, settings,
+                            chunk=64, interpret=True)
+    for k in ("rgb", "disp", "acc"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=3e-2, rtol=3e-2)
+
+
+def test_fast_path_gating(nerfh):
+    cfg, model, params = nerfh
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    assert fast_path_supported(model, settings)
+    # no importance -> unsupported
+    import dataclasses
+    assert not fast_path_supported(
+        model, dataclasses.replace(settings, N_importance=0))
+    # feature-field head -> unsupported
+    bad = dataclasses.replace(model, cfg_fine=dataclasses.replace(
+        model.cfg_fine, out_ch=131))
+    assert not fast_path_supported(bad, settings)
