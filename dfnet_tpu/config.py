@@ -130,6 +130,11 @@ class Config:
     precision: str = "fp32"             # fp32 | bf16 — MLP matmul precision
     fine_importance_only: bool = False  # fast profile: fine MLP on importance samples only
     fast_render: bool = True            # fused Pallas kernels for test-time renders (no-grad paths)
+    proposal: bool = True               # train a tiny proposal sampler alongside NeRF-H stage 1
+    proposal_D: int = 2                 # proposal MLP depth
+    proposal_W: int = 64                # proposal MLP width
+    proposal_loss_w: float = 1.0        # weight of the interlevel bound loss
+    proposal_render: bool = True        # place test-render samples with the proposal net when present
     mesh_shape: Optional[int] = None    # data-parallel mesh size; None = all local devices
     prefetch: int = 0                   # >0: double-buffered host→HBM batches (depth), for
                                         # larger-than-HBM datasets; 0 = device-resident/sync

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 from dfnet_tpu.config import Config
 from dfnet_tpu.models.embedder import get_embedder
-from dfnet_tpu.models.nerfw import NeRFWConfig, init_embeddings, init_nerfw_params
+from dfnet_tpu.models.nerfw import (
+    NeRFWConfig,
+    init_embeddings,
+    init_nerfw_params,
+    init_sigma_mlp,
+)
 from dfnet_tpu.render.volume import NeRFHModel, RenderSettings
 
 
@@ -41,8 +46,18 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
         encode_appearance=True, encode_transient=True, beta_min=cfg.beta_min,
         out_ch=cfg.out_channel_size, compute_dtype=dtype)
 
-    kc, kf, ke = jax.random.split(key, 3)
+    kc, kf, ke, kp = jax.random.split(key, 4)
     params = {"coarse": init_nerfw_params(kc, cfg_coarse)}
+    cfg_proposal = None
+    if cfg.proposal and cfg.N_importance > 0:
+        # tiny sigma-only sampler, trained alongside stage 1 with an
+        # interlevel bound loss; replaces the D=8/W=128 coarse sweep for
+        # test-render sample placement (TPU speed knob, see render/fast)
+        cfg_proposal = NeRFWConfig(
+            D=cfg.proposal_D, W=cfg.proposal_W, skips=(),
+            in_xyz=embed_xyz.out_dim, in_dir=embed_dir.out_dim,
+            compute_dtype=dtype)
+        params["proposal"] = init_sigma_mlp(kp, cfg_proposal)
     if cfg.N_importance > 0:
         params["fine"] = init_nerfw_params(kf, cfg_fine)
         # hist mode: hist_bin rows of (in_a/hist_bin) dims are gathered
@@ -58,7 +73,8 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
         params["embedding_t"] = emb["t"]
 
     model = NeRFHModel(cfg_coarse=cfg_coarse, cfg_fine=cfg_fine,
-                       embed_xyz=embed_xyz, embed_dir=embed_dir)
+                       embed_xyz=embed_xyz, embed_dir=embed_dir,
+                       cfg_proposal=cfg_proposal)
     return model, params
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,3 +46,23 @@ def color_loss(results: Dict, target, coef: float = 1.0):
     if "rgb" in results:
         loss = loss + jnp.mean((results["rgb"] - target) ** 2)
     return coef * loss
+
+
+def proposal_bound_loss(w_prop, z_vals, w_fine, z_all):
+    """Interlevel bound loss for the tiny proposal sampler (mip-NeRF 360
+    Eq. 13 adapted to the shared uniform coarse grid; arXiv 2111.12077):
+    the proposal's mass in each coarse interval must upper-bound the
+    (stop-gradient) fine mass landing there — only the proposal learns.
+
+    w_prop: (N, S) proposal weights at the uniform z_vals (N, S);
+    w_fine: (N, Sf) fine weights at z_all (N, Sf).
+    """
+    lower = z_vals                                        # (N, S)
+    upper = jnp.concatenate(
+        [z_vals[:, 1:], jnp.full_like(z_vals[:, :1], 1e10)], -1)
+    z = jax.lax.stop_gradient(z_all)
+    wf = jax.lax.stop_gradient(w_fine)
+    inside = (z[:, None, :] >= lower[..., None]) & (z[:, None, :] < upper[..., None])
+    w_in = jnp.sum(jnp.where(inside, wf[:, None, :], 0.0), -1)  # (N, S)
+    excess = jnp.maximum(w_in - w_prop, 0.0)
+    return jnp.mean(excess ** 2 / (w_prop + 1e-2))

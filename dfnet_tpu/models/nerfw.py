@@ -228,6 +228,20 @@ def nerfw_apply_rays(
     return jnp.concatenate([rgb, static_sigma, t_rgb, t_sigma, t_beta], -1)
 
 
+def init_sigma_mlp(key, cfg: NeRFWConfig) -> Dict:
+    """Sigma-only MLP params (proposal sampler): xyz trunk + static_sigma
+    head, no color/dir/transient branches. Applied with
+    nerfw_apply_rays(..., sigma_only=True)."""
+    keys = jax.random.split(key, cfg.D + 1)
+    p: Dict = {}
+    for i in range(cfg.D):
+        fan_in = cfg.in_xyz if i == 0 else (
+            cfg.W + cfg.in_xyz if i in cfg.skips else cfg.W)
+        p[f"xyz_{i}"] = _torch_linear_init(keys[i], fan_in, cfg.W)
+    p["static_sigma"] = _torch_linear_init(keys[-1], cfg.W, 1)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # histogram embeddings
 # ---------------------------------------------------------------------------

@@ -26,6 +26,15 @@ VGG16_LAYOUT = [
 
 CONV_NAMES = [e[0] for e in VGG16_LAYOUT if e != "M"]
 
+# torchvision vgg19 config "E" (the autoencoder_vgg3..7 zoo's encoder)
+VGG19_LAYOUT = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), ("conv5_4", 512), "M",
+]
+
 # torch features-sequential index of each conv (conv,relu pairs + pools)
 TORCH_CONV_INDEX = {}
 _i = 0
@@ -101,3 +110,42 @@ def vgg16_features(params: Dict, x: jnp.ndarray,
 def imagenet_normalize(x: jnp.ndarray) -> jnp.ndarray:
     """x: (...,3) RGB in [0,1]."""
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def init_vgg_params(key, layout) -> Dict:
+    """Init conv params for any VGG layout (16/19)."""
+    convs = [e for e in layout if e != "M"]
+    params = {}
+    cin = 3
+    for k, (name, cout) in zip(jax.random.split(key, len(convs)), convs):
+        params[name] = _torch_conv_init(k, 3, 3, cin, cout)
+        cin = cout
+    return params
+
+
+def vgg_features_by_index(params: Dict, x: jnp.ndarray, layout,
+                          tap_indices: Sequence[int]):
+    """Run a VGG features stack tapping POST-op outputs at the given
+    torch features-sequential indices (conv,relu pairs + pools — the
+    autoencoder zoo taps post-ReLU, e.g. index 3 = ReLU-4). Returns
+    (final pre-classifier tensor, taps in request order)."""
+    want = set(tap_indices)
+    got = {}
+    i = 0
+    for entry in layout:
+        if entry == "M":
+            x = maxpool2(x)
+            if i in want:
+                got[i] = x
+            i += 1
+            continue
+        name, _ = entry
+        x = conv2d(params[name], x)
+        if i in want:
+            got[i] = x
+        i += 1
+        x = jax.nn.relu(x)
+        if i in want:
+            got[i] = x
+        i += 1
+    return x, [got[j] for j in tap_indices]

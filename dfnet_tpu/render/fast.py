@@ -42,14 +42,24 @@ class FastNeRFH:
     params: Dict                      # original params (per-ray partials)
     spec_coarse: nk.KernelSpec
     spec_fine: nk.KernelSpec
+    packed_proposal: Optional[Dict] = None
+    spec_proposal: Optional[nk.KernelSpec] = None
 
     @classmethod
-    def pack(cls, params: Dict, model: NeRFHModel) -> "FastNeRFH":
+    def pack(cls, params: Dict, model: NeRFHModel,
+             use_proposal: bool = True) -> "FastNeRFH":
         F = model.embed_xyz.num_freqs
 
         def eff_skip(c):
             return c.skips[0] if c.skips and c.skips[0] < c.D else -1
 
+        packed_p = spec_p = None
+        if (use_proposal and model.cfg_proposal is not None
+                and "proposal" in params):
+            cp = model.cfg_proposal
+            packed_p = nk.pack_coarse_t(params["proposal"], cp,
+                                        model.embed_xyz)
+            spec_p = nk.KernelSpec(D=cp.D, skip=eff_skip(cp), F=F, fine=False)
         return cls(
             model=model,
             packed_coarse=nk.pack_coarse_t(params["coarse"], model.cfg_coarse,
@@ -63,6 +73,8 @@ class FastNeRFH:
             spec_fine=nk.KernelSpec(D=model.cfg_fine.D,
                                     skip=eff_skip(model.cfg_fine),
                                     F=F, fine=True),
+            packed_proposal=packed_p,
+            spec_proposal=spec_p,
         )
 
     def ray_align(self, settings: RenderSettings) -> int:
@@ -167,10 +179,18 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     S = settings.N_samples
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-    sig_pre = nk.coarse_sigma_t(fast.packed_coarse, rays_o, rays_d,
-                                fast.spec_coarse, S,
-                                float(settings.near), float(settings.far),
-                                settings.lindisp, interpret=interpret)
+    # sample placement: trained proposal sampler when available (same
+    # uniform grid, ~15x cheaper sigma sweep), else the coarse NeRF
+    if fast.packed_proposal is not None:
+        sig_pre = nk.coarse_sigma_t(fast.packed_proposal, rays_o, rays_d,
+                                    fast.spec_proposal, S,
+                                    float(settings.near), float(settings.far),
+                                    settings.lindisp, interpret=interpret)
+    else:
+        sig_pre = nk.coarse_sigma_t(fast.packed_coarse, rays_o, rays_d,
+                                    fast.spec_coarse, S,
+                                    float(settings.near), float(settings.far),
+                                    settings.lindisp, interpret=interpret)
     sigma = jax.nn.softplus(sig_pre)                          # (N, S)
     near = jnp.full((n, 1), settings.near, jnp.float32)
     far = jnp.full((n, 1), settings.far, jnp.float32)
@@ -225,7 +245,7 @@ def fast_path_supported(model, settings: RenderSettings) -> bool:
 def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
                       H: int, W: int, focal: float,
                       settings: RenderSettings, chunk: int = 1024 * 8,
-                      exact_union: bool = True,
+                      exact_union: bool = True, use_proposal: bool = True,
                       interpret: Optional[bool] = None) -> Dict:
     """Full-image render through the fused kernels (test-time drop-in
     for volume.render_image: same output dict keys rgb/disp/acc).
@@ -233,7 +253,7 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
     with params as an argument."""
     from dfnet_tpu.render.rays import get_rays
 
-    fast = FastNeRFH.pack(params, model)
+    fast = FastNeRFH.pack(params, model, use_proposal=use_proposal)
     align = fast.ray_align(settings)
     chunk = max(chunk // align, 1) * align
     rays_o, rays_d = get_rays(H, W, focal, c2w)

@@ -57,11 +57,15 @@ class RenderSettings:
 @dataclass(frozen=True)
 class NeRFHModel:
     """Static model description (configs + embedders); params live in a
-    separate pytree {'coarse','fine','embedding_a','embedding_t'}."""
+    separate pytree {'coarse','fine','embedding_a','embedding_t'[,
+    'proposal']}. cfg_proposal describes the optional tiny sigma-only
+    proposal sampler trained alongside stage 1 (TPU-native speed knob;
+    not in the reference)."""
     cfg_coarse: NeRFWConfig
     cfg_fine: NeRFWConfig
     embed_xyz: Embedder
     embed_dir: Embedder
+    cfg_proposal: Optional[NeRFWConfig] = None
 
 
 def composite_nerfw(raw, z_vals, output_transient: bool, beta_min: float = 0.1,
@@ -256,6 +260,11 @@ def render_rays(
             out["beta"] = comp_f["beta"]
             out["transient_sigmas"] = comp_f["transient_sigmas"]
             out["z_std"] = jnp.std(z_samples, axis=-1)
+            # exposed for the proposal sampler's interlevel loss (DCE'd
+            # when unused): coarse grid, fine sample locations + weights
+            out["z_vals"] = z_vals
+            out["z_all"] = z_all
+            out["weights_fine"] = comp_f["weights"]
     else:
         out["rgb"] = comp_c.get("rgb")
         out["disp"] = comp_c.get("disp")

@@ -118,7 +118,8 @@ class FrozenNeRF:
                     pose_apr, ws["pose_scale"], ws["move_all_cam_vec"],
                     ws["pose_scale2"])
                 out = render_image_fast(params, model, pose_nerf, hist,
-                                        rh, rw, rf, settings, chunk=chunk)
+                                        rh, rw, rf, settings, chunk=chunk,
+                                        use_proposal=cfg.proposal_render)
                 rgb = out["rgb"]
                 if tiny:
                     rgb = resize_bicubic(rgb, H, W)

@@ -93,6 +93,9 @@ class NeRFTrainer:
 
         from dfnet_tpu.render.volume import VanillaNeRFModel, render_rays_vanilla
 
+        model_has_proposal = (getattr(model, "cfg_proposal", None) is not None
+                              and "proposal" in self.params)
+
         def loss_fn(params, rays_o, rays_d, target, hist, rng, epoch):
             # epoch only matters for the DNeRF windowed embedding
             # (reduce_embedding==2); None otherwise to avoid tracing it
@@ -105,6 +108,26 @@ class NeRFTrainer:
                                   settings, rng, epoch=ep)
             losses = nerfw_loss(out, target)
             loss = sum(losses.values())
+            if model_has_proposal and "weights_fine" in out:
+                # passive joint training of the tiny proposal sampler:
+                # only the proposal sees gradients (fine weights are
+                # stop-gradient), reference dynamics are untouched
+                from dfnet_tpu.models.losses import proposal_bound_loss
+                from dfnet_tpu.models.nerfw import nerfw_apply_rays
+                from dfnet_tpu.render.volume import composite_nerfw
+
+                z_vals = out["z_vals"]
+                pts = (rays_o[:, None, :]
+                       + rays_d[:, None, :] * z_vals[..., None])
+                sig_p = nerfw_apply_rays(
+                    params["proposal"], model.cfg_proposal,
+                    model.embed_xyz(pts, ep), sigma_only=True)
+                comp_p = composite_nerfw(sig_p, z_vals,
+                                         output_transient=False,
+                                         sigma_only=True)
+                loss = loss + cfg.proposal_loss_w * proposal_bound_loss(
+                    comp_p["weights"], z_vals, out["weights_fine"],
+                    out["z_all"])
             psnr = mse2psnr(img2mse(out["rgb"], target))
             return loss, psnr
 
@@ -150,7 +173,8 @@ class NeRFTrainer:
             def render_one(params, pose, hist, epoch):
                 return render_image_fast(params, model, pose, hist, eh, ew,
                                          ef, self.settings_test,
-                                         chunk=min(cfg.chunk, eh * ew))
+                                         chunk=min(cfg.chunk, eh * ew),
+                                         use_proposal=cfg.proposal_render)
         else:
             def render_one(params, pose, hist, epoch):
                 ep = epoch if cfg.reduce_embedding == 2 else None
@@ -238,7 +262,15 @@ class NeRFTrainer:
         if not path or self.cfg.no_reload or not osp.exists(path):
             return 0
         tree, scalars = load_pytree(path)
-        self.params = tree["params"]
+        loaded = tree["params"]
+        if isinstance(loaded, dict) and isinstance(self.params, dict):
+            # checkpoints from before an optional subtree existed (e.g.
+            # 'proposal') keep their fresh init for the missing keys
+            for k in self.params:
+                if k not in loaded:
+                    print(f"[nerf] checkpoint lacks '{k}' — keeping fresh init")
+                    loaded[k] = self.params[k]
+        self.params = loaded
         if "opt_state" in tree:
             # saved state round-trips as plain tuples/dicts; re-hang the
             # leaves on the live optax state's treedef
