@@ -131,6 +131,9 @@ class KernelSpec:
     skip: int
     F: int
     fine: bool
+    # PE-argument map as VPU broadcast-MACs (cheaper when the MLP is too
+    # small to hide an f32 matmul behind, i.e. the sigma-only kernels)
+    pe_mac: bool = False
 
 
 def _wT(params, name, bf=jnp.bfloat16):
@@ -330,13 +333,24 @@ def _dot(w, h):
                                preferred_element_type=jnp.float32)
 
 
-def _pts_to_x0(p, od, z_row, exp_f32, F: int):
-    """(8,LANES) od tile + (1,T) z row -> (LANES,T) bf16 PE features."""
+def _pts_to_x0(p, od, z_row, exp_f32, spec: "KernelSpec"):
+    """(8,LANES) od tile + (1,T) z row -> (LANES,T) bf16 PE features.
+
+    The PE-argument map xs = M @ pts is K=3 and must stay f32 (high PE
+    frequencies need ~1e-4 argument precision). In a big kernel the f32
+    matmul overlaps with surrounding VPU work; in the tiny sigma-only
+    kernels it dominates, so there it runs as three (LANES,1)x(1,T)
+    broadcast MACs instead (spec.pe_mac)."""
     od6 = _dot(od[:6].astype(jnp.float32), exp_f32)     # (6, T) f32
     pts_t = od6[0:3] + od6[3:6] * z_row                 # (3, T)
-    xs = _dot(p["pe_m"], pts_t) + p["pe_phase"]         # (LANES, T) f32
+    if spec.pe_mac:
+        m = p["pe_m"]
+        xs = (m[:, 0:1] * pts_t[0:1] + m[:, 1:2] * pts_t[1:2]
+              + m[:, 2:3] * pts_t[2:3] + p["pe_phase"])  # (LANES, T) f32
+    else:
+        xs = _dot(p["pe_m"], pts_t) + p["pe_phase"]
     row = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
-    return jnp.where(row < 6 * F, _fast_sin(xs), xs).astype(jnp.bfloat16)
+    return jnp.where(row < 6 * spec.F, _fast_sin(xs), xs).astype(jnp.bfloat16)
 
 
 def _trunk_t(p, x0, spec: KernelSpec):
@@ -368,7 +382,7 @@ def _coarse_kernel_t(spec: KernelSpec, S: int, near: float, far: float,
         z_row = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
     else:
         z_row = near * (1.0 - t) + far * t
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec.F)
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
     h = _trunk_t(p, x0, spec)
     out_ref[...] = (_dot(p["w_sigma8"], h) + p["b_sigma8"]).astype(jnp.float32)
 
@@ -379,7 +393,7 @@ def _fine_kernel_t(spec: KernelSpec, names, *refs):
     exp_f32 = refs[-3][...]
     exp_bf = refs[-2][...]
     z_row = z_ref[0][0:1]                               # (1, T) f32
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec.F)
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
     h = _trunk_t(p, x0, spec)
     W = p["w_dt"].shape[0]                              # dir|trans stream width
     dpt = _dot(dpt_ref[0], exp_bf)[:W]                  # (W, T) f32
@@ -407,7 +421,12 @@ def coarse_sigma_t(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
     rays (N,3)x2 -> (N, S) f32 PRE-softplus sigma. N must be a multiple
     of tile_geometry(S)[0] (pad rays; see fast.py)."""
     N = rays_o.shape[0]
-    R, T = tile_geometry(S)
+    # sigma-only sweep is VMEM-light -> bigger tiles, fewer grid steps
+    # (the per-step scaffolding — o/d expansion, PE, sine — is what a
+    # tiny proposal MLP pays for; amortize it)
+    R, T = tile_geometry(S, target=4096)
+    if N % R != 0:
+        R, T = tile_geometry(S)
     G = N // R
     od = od_tiles_of(rays_o, rays_d, R)
     exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
@@ -467,5 +486,10 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
 
 
 def ray_tile(S: int) -> int:
-    """Rays-per-tile granularity callers must pad N to."""
+    """Rays-per-tile granularity callers must pad N to (fine kernel)."""
     return tile_geometry(S)[0]
+
+
+def coarse_ray_tile(S: int) -> int:
+    """Preferred rays-per-tile of the sigma-only kernel (bigger tiles)."""
+    return tile_geometry(S, target=4096)[0]

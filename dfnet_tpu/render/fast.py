@@ -59,7 +59,8 @@ class FastNeRFH:
             cp = model.cfg_proposal
             packed_p = nk.pack_coarse_t(params["proposal"], cp,
                                         model.embed_xyz)
-            spec_p = nk.KernelSpec(D=cp.D, skip=eff_skip(cp), F=F, fine=False)
+            spec_p = nk.KernelSpec(D=cp.D, skip=eff_skip(cp), F=F, fine=False,
+                                   pe_mac=True)
         return cls(
             model=model,
             packed_coarse=nk.pack_coarse_t(params["coarse"], model.cfg_coarse,
@@ -69,7 +70,7 @@ class FastNeRFH:
             params=params,
             spec_coarse=nk.KernelSpec(D=model.cfg_coarse.D,
                                       skip=eff_skip(model.cfg_coarse),
-                                      F=F, fine=False),
+                                      F=F, fine=False, pe_mac=True),
             spec_fine=nk.KernelSpec(D=model.cfg_fine.D,
                                     skip=eff_skip(model.cfg_fine),
                                     F=F, fine=True),
@@ -80,7 +81,7 @@ class FastNeRFH:
     def ray_align(self, settings: RenderSettings) -> int:
         """Ray-count alignment both kernels need (pad to a multiple)."""
         import math
-        rc = nk.ray_tile(settings.N_samples)
+        rc = nk.coarse_ray_tile(settings.N_samples)
         rf = nk.ray_tile(settings.N_samples + settings.N_importance)
         return rc * rf // math.gcd(rc, rf)
 
