@@ -55,7 +55,7 @@ def main():
             o, d = args
             if fast is not None:
                 r = render_rays_fast(fast, o, d, hist, settings,
-                                     exact_union=True, interpret=False)
+                                     interpret=False)
             else:
                 r = render_rays(params, model, o, d, hist, settings)
             return jnp.sum(r["rgb"])

@@ -493,3 +493,345 @@ def ray_tile(S: int) -> int:
 def coarse_ray_tile(S: int) -> int:
     """Preferred rays-per-tile of the sigma-only kernel (bigger tiles)."""
     return tile_geometry(S, target=4096)[0]
+
+
+# ---------------------------------------------------------------------------
+# mono path: in-kernel sampling + compositing
+#
+# Two more kernels that remove the remaining XLA glue from the hot path
+# (the proposal launch + sigma composite + inverse-CDF masked reductions
+# and the SoA composite cost ~5 ms per 16K-ray chunk):
+#   proposal_z_rows: rays -> SORTED fine z samples (blended-CDF mode),
+#     with the proposal sweep, sigma->weights compositing, per-ray CDF
+#     and its inverse all in VMEM;
+#   fine_composite_t: the fine sweep + full NeRF-W test-time compositing
+#     in VMEM -> (8, N) per-ray outputs [rgb, acc, depth, static rgb].
+# Per-ray scans/reductions run on the lanes-are-samples layout: samples
+# of a ray are S consecutive lanes, so transmittance is a log-step
+# masked-roll prefix product and per-ray sums are one f32 matmul against
+# the expansion matrix. Transcendentals use bit-twiddled exp2/log2
+# polynomials (Mosaic's exp/log are ~25x too slow, like sin).
+# ---------------------------------------------------------------------------
+
+_EXP2_COEFFS = None
+_LOG2_COEFFS = None
+_LOG2E = float(np.log2(np.e))
+_LN2 = float(np.log(2.0))
+
+
+def _exp2_coeffs() -> np.ndarray:
+    """Degree-5 fit of 2^f on f in [-0.5, 0.5] (max err ~2e-8 rel)."""
+    global _EXP2_COEFFS
+    if _EXP2_COEFFS is None:
+        f = 0.5 * np.cos(np.linspace(0.0, np.pi, 4001))
+        A = np.stack([np.ones_like(f), f, f**2, f**3, f**4, f**5], -1)
+        c, *_ = np.linalg.lstsq(A, 2.0 ** f, rcond=None)
+        _EXP2_COEFFS = c.astype(np.float32)
+    return _EXP2_COEFFS
+
+
+def _log2_coeffs() -> np.ndarray:
+    """Degree-6 fit of log2(m) on m in [1, 2) (max err ~1e-6)."""
+    global _LOG2_COEFFS
+    if _LOG2_COEFFS is None:
+        m = 1.5 + 0.5 * np.cos(np.linspace(0.0, np.pi, 4001))
+        A = np.stack([np.ones_like(m), m, m**2, m**3, m**4, m**5, m**6], -1)
+        c, *_ = np.linalg.lstsq(A, np.log2(m), rcond=None)
+        _LOG2_COEFFS = c.astype(np.float32)
+    return _LOG2_COEFFS
+
+
+def _fast_exp2(x):
+    """2^x via round-and-poly + exponent bit assembly (VPU-only)."""
+    if jax.default_backend() == "cpu":
+        return jnp.exp2(x)
+    c = [float(v) for v in _exp2_coeffs()]
+    x = jnp.clip(x, -125.0, 125.0)
+    n = jnp.round(x)
+    f = x - n
+    p = c[0] + f * (c[1] + f * (c[2] + f * (c[3] + f * (c[4] + f * c[5]))))
+    scale = pltpu.bitcast((n.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return p * scale
+
+
+def _fast_log2(x):
+    """log2(x) for x > 0 via exponent extraction + mantissa poly."""
+    if jax.default_backend() == "cpu":
+        return jnp.log2(x)
+    c = [float(v) for v in _log2_coeffs()]
+    bits = pltpu.bitcast(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = pltpu.bitcast((bits & 0x007FFFFF) | (127 << 23), jnp.float32)
+    p = c[0] + m * (c[1] + m * (c[2] + m * (c[3] + m * (c[4] + m * (c[5] + m * c[6])))))
+    return e.astype(jnp.float32) + p
+
+
+def _fast_exp(x):
+    return _fast_exp2(x * _LOG2E)
+
+
+def _k_softplus(x):
+    """softplus(x) = log(1+e^x), switching to identity for large x."""
+    sp = _fast_log2(1.0 + _fast_exp2(jnp.minimum(x, 15.0) * _LOG2E)) * _LN2
+    return jnp.where(x > 15.0, x, sp)
+
+
+def _k_sigmoid(x):
+    return 1.0 / (1.0 + _fast_exp(-x))
+
+
+def _roll_lanes(x, k: int):
+    if jax.default_backend() == "cpu":
+        return jnp.roll(x, k, axis=1)
+    if k < 0:
+        k += x.shape[1]          # pltpu.roll wants non-negative shifts
+    return pltpu.roll(x, k, 1)
+
+
+def _roll_rows(x, k: int):
+    if jax.default_backend() == "cpu":
+        return jnp.roll(x, k, axis=0)
+    return pltpu.roll(x, k, 0)
+
+
+def _group_prefix_prod_excl(om, S: int):
+    """Exclusive prefix product of om within consecutive S-lane groups:
+    out_l = prod_{j<l in group} om_j (the transmittance before sample l).
+    om: (rows, T) f32."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, om.shape, 1) % S
+    x = jnp.where(pos >= 1, _roll_lanes(om, 1), 1.0)
+    k = 1
+    while k < S:
+        x = x * jnp.where(pos >= k, _roll_lanes(x, k), 1.0)
+        k *= 2
+    return x
+
+
+def _row_prefix_sum(x, n_rows: int):
+    """Inclusive prefix sum along rows (axis 0). x: (n_rows, C) f32."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n_rows:
+        x = x + jnp.where(pos >= k, _roll_rows(x, k), 0.0)
+        k *= 2
+    return x
+
+
+def _sel_matrix(S: int, T: int) -> np.ndarray:
+    """(S, T) one-hot: row s lights lanes with p % S == s."""
+    E = np.zeros((S, T), np.float32)
+    E[np.arange(T) % S, np.arange(T)] = 1.0
+    return E
+
+
+def _weights_from_sigma(sigma, S: int, near: float, far: float):
+    """(1,T) sigma over in-kernel uniform z -> (1,T) composite weights
+    (sigma-only raw2outputs_NeRFW: 1e2 terminal delta)."""
+    T = sigma.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % S
+    step = np.float32((far - near) / (S - 1))
+    delta = jnp.where(pos == S - 1, np.float32(1e2), step)
+    alpha = 1.0 - _fast_exp(-delta * sigma)
+    trans = _group_prefix_prod_excl(1.0 - alpha, S)
+    return alpha * trans
+
+
+def _sample_kernel_t(spec: KernelSpec, S: int, S_f: int, near: float,
+                     far: float, lam: float, names, *refs):
+    """refs: od_tile, *params, exp_f32 (LANES,T), e_sel (S,T),
+    exp_out (LANES,T_out) f32, sel_f (S_f,T_out) f32, consts (8,S),
+    out (8, T_out)."""
+    od_ref, out_ref = refs[0], refs[-1]
+    p = {k: r[...] for k, r in zip(names, refs[1:-5])}
+    exp_f32 = refs[-5][...]
+    e_sel = refs[-4][...]
+    exp_out = refs[-3][...]
+    sel_f = refs[-2][...]
+    T = exp_f32.shape[-1]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % S
+    t = pos.astype(jnp.float32) * np.float32(1.0 / (S - 1))
+    z_row = np.float32(near) * (1.0 - t) + np.float32(far) * t
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
+    h = _trunk_t(p, x0, spec)
+    sig_pre = (_dot(p["w_sigma8"], h) + p["b_sigma8"])[0:1]
+    sigma = _k_softplus(sig_pre)
+    w = _weights_from_sigma(sigma, S, near, far)          # (1, T)
+
+    # per-ray transpose: (S rows, LANES ray cols); ray cols >= R are 0
+    spread = w * exp_f32                                   # (LANES, T)
+    w_sr = jax.lax.dot_general(e_sel, spread, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    mass = w_sr[1:S - 1] + np.float32(1e-5)                # (S-2, LANES)
+    tot = jnp.sum(mass, axis=0, keepdims=True)
+    pdf = mass / tot
+    cdf_rows = _row_prefix_sum(pdf, S - 2)                 # inclusive
+
+    # inverse CDF of the blended mixture at u = linspace(0,1,S_f);
+    # z_mid bin edges are uniform -> host constants on the host side of
+    # the closure (static python floats)
+    step = (far - near) / (S - 1)
+    zmid = [near + (j + 0.5) * step for j in range(S - 1)]
+    span = zmid[-1] - zmid[0]
+    lamf = np.float32(lam)
+    u = (jax.lax.broadcasted_iota(jnp.int32, (S_f, LANES), 0)
+         .astype(jnp.float32) * np.float32(1.0 / (S_f - 1)))  # (S_f, LANES)
+    big = jnp.float32(1e10)
+    below = jnp.zeros((S_f, LANES), jnp.float32)
+    b_bin = jnp.full((S_f, LANES), np.float32(zmid[0]))
+    above = jnp.full((S_f, LANES), big)
+    a_bin = jnp.full((S_f, LANES), big)
+    for j in range(S - 1):
+        cj_w = cdf_rows[j - 1:j] if j > 0 else jnp.zeros((1, LANES), jnp.float32)
+        cdf_u_j = np.float32((zmid[j] - zmid[0]) / span)
+        cj = (1.0 - lamf) * cj_w + lamf * cdf_u_j          # (1, LANES)
+        le = cj <= u                                       # (S_f, LANES)
+        below = jnp.where(le, cj, below)
+        b_bin = jnp.where(le, np.float32(zmid[j]), b_bin)
+        above = jnp.minimum(above, jnp.where(le, big, cj))
+        a_bin = jnp.minimum(a_bin, jnp.where(le, big, np.float32(zmid[j])))
+    last_cdf = (1.0 - lamf) * cdf_rows[S - 3:S - 2] + lamf * 1.0
+    above = jnp.where(above >= big / 2, last_cdf, above)
+    a_bin = jnp.where(a_bin >= big / 2, np.float32(zmid[-1]), a_bin)
+    denom = above - below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    tt = (u - below) / denom
+    z = b_bin + tt * (a_bin - b_bin)                       # (S_f, LANES)
+
+    # flatten to ray-major point lanes: z_pt[p] = z[p % S_f, p // S_f]
+    zz = jax.lax.dot_general(z, exp_out, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    z_pt = jnp.sum(zz * sel_f, axis=0, keepdims=True)      # (1, T_out)
+    out_ref[...] = jnp.concatenate(
+        [z_pt, jnp.zeros((7, z_pt.shape[-1]), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "S", "S_f", "near",
+                                             "far", "lam", "interpret"))
+def proposal_z_rows(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
+                    S_f: int, near: float, far: float, lam: float,
+                    interpret: bool = False) -> jnp.ndarray:
+    """One-kernel sample placement: rays -> (8, N*S_f) f32 with row 0 =
+    SORTED blended-CDF fine z samples in ray-major point order (the fine
+    kernel's z_rows input). Matches render/fast.sample_pdf_blend over
+    weights composited from the packed sigma-MLP at S uniform samples."""
+    N = rays_o.shape[0]
+    R, T = tile_geometry(S, target=2048)
+    if N % R != 0:
+        raise ValueError(f"N={N} not a multiple of sampling ray tile {R}")
+    G = N // R
+    T_out = R * S_f
+    od = od_tiles_of(rays_o, rays_d, R)
+    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    e_sel = jnp.asarray(_sel_matrix(S, T))
+    exp_out = jnp.asarray(_expand_matrix_t(R, S_f))
+    sel_f = jnp.asarray(_sel_matrix(S_f, T_out))
+    names, vals = _sorted_items(packed)
+    kern = functools.partial(_sample_kernel_t, spec, S, S_f, float(near),
+                             float(far), float(lam), names)
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 4),
+        out_specs=pl.BlockSpec((8, T_out), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, N * S_f), jnp.float32),
+        interpret=interpret,
+    )(od, *vals, exp_f32, e_sel, exp_out, sel_f)
+
+
+# Output rows of the compositing fine kernel: per-ray
+# [rgb(0:3), acc(3), static depth(4), static rgb(5:8)]
+COMP_ROWS = 8
+
+
+def _fine_composite_kernel_t(spec: KernelSpec, S: int, names, *refs):
+    """Fine sweep + full NeRF-W test-time compositing in VMEM.
+    refs: od, z_rows (8,T), dpt, *params, exp_f32, exp_bf, out (8,LANES)."""
+    od_ref, z_ref, dpt_ref, out_ref = refs[0], refs[1], refs[2], refs[-1]
+    p = {k: r[...] for k, r in zip(names, refs[3:-3])}
+    exp_f32 = refs[-3][...]
+    exp_bf = refs[-2][...]
+    z_row = z_ref[0:1, :]                               # (1, T) f32
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
+    h = _trunk_t(p, x0, spec)
+    W = p["w_dt"].shape[0]
+    dpt = _dot(dpt_ref[0], exp_bf)[:W]
+    dt = jnp.maximum(_dot(p["w_dt"], h) + p["b_dt_fold"] + dpt, 0.0
+                     ).astype(jnp.bfloat16)
+    for i in range(3):
+        dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
+                         ).astype(jnp.bfloat16)
+    raw = _dot(p["w_heads"], dt) + _dot(p["w_sigma_pad"], h) + p["b_heads"]
+
+    # activations + composite (volume.composite_nerfw, test_time=True)
+    srgb = _k_sigmoid(raw[0:3])
+    ssig = _k_softplus(raw[3:4])
+    trgb = _k_sigmoid(raw[4:7])
+    tsig = _k_softplus(raw[7:8])
+    T = z_row.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % S
+    z_next = _roll_lanes(z_row, -1)
+    delta = jnp.where(pos == S - 1, np.float32(1e2), z_next - z_row)
+    sa = 1.0 - _fast_exp(-delta * ssig)
+    ta = 1.0 - _fast_exp(-delta * tsig)
+    alphas = 1.0 - _fast_exp(-delta * (ssig + tsig))
+    trans = _group_prefix_prod_excl(1.0 - alphas, S)
+    s_trans = _group_prefix_prod_excl(1.0 - sa, S)
+    static_w = sa * trans
+    transient_w = ta * trans
+    weights = alphas * trans
+    static_w_only = sa * s_trans
+
+    contrib = jnp.concatenate([
+        static_w * srgb + transient_w * trgb,   # rgb (3,T)
+        weights,                                # acc (1,T)
+        static_w_only * z_row,                  # depth (1,T)
+        static_w_only * srgb,                   # static rgb (3,T)
+    ], axis=0)                                  # (8, T)
+    per_ray = jax.lax.dot_general(
+        contrib, exp_f32, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)     # (8, LANES) — cols = rays
+    out_ref[...] = per_ray
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def fine_composite_t(packed: Dict, rays_o, rays_d, z_rows, dpt,
+                     spec: KernelSpec, interpret: bool = False) -> jnp.ndarray:
+    """Fused fine sweep + compositing.
+
+    z_rows: (8, N*S_f) f32, row 0 = sorted z per point (ray-major) —
+    proposal_z_rows output, or built from (N, S_f) z_all.
+    Returns (COMP_ROWS, N): [rgb, acc, static depth, static rgb]."""
+    P = z_rows.shape[-1]
+    N = rays_o.shape[0]
+    S = P // N
+    R, T = tile_geometry(S)
+    G = N // R
+    od = od_tiles_of(rays_o, rays_d, R)
+    dpt_tiles = dpt_tiles_of(dpt, R)
+    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    exp_bf = exp_f32.astype(jnp.bfloat16)
+    names, vals = _sorted_items(packed)
+    kern = functools.partial(_fine_composite_kernel_t, spec, S, names)
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 2),
+        out_specs=pl.BlockSpec((COMP_ROWS, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((COMP_ROWS, G * LANES), jnp.float32),
+        interpret=interpret,
+    )(od, z_rows, dpt_tiles, *vals, exp_f32, exp_bf)
+    # cols per tile: first R are real rays, rest zero -> compact
+    out = out.reshape(COMP_ROWS, G, LANES)[:, :, :R]
+    return out.reshape(COMP_ROWS, N)

@@ -10,13 +10,19 @@ array-of-struct (N, S, 9) layout costs a padded-lane relayout on every
 consumer — measured +25 ms per 2M-point chunk).
 
 Importance-sampling modes:
-  - exact union (reference semantics, rendering.py:296-302): importance
-    samples from the coarse CDF sorted together with the coarse z's;
-  - blended CDF (default): all N_samples+N_importance fine z's drawn in
-    one inverse-CDF pass from  (1-lam)*cdf + lam*uniform,
-    lam = N_samples/total — same marginal density as "uniform union
-    importance", but SORTED by construction: no concat, no (N, 192)
-    sort on the hot path (quality validated in QUALITY.md).
+  - exact union (default; reference semantics, rendering.py:296-302 —
+    and the fastest measured on v5e): importance samples from the
+    placement CDF sorted together with the coarse z's;
+  - blended CDF: all N_samples+N_importance fine z's drawn in one
+    inverse-CDF pass from (1-lam)*cdf + lam*uniform, lam =
+    N_samples/total — same marginal density as "uniform union
+    importance" but SORTED by construction (PSNR-equal; QUALITY.md);
+  - mono (experimental, blended only): sampling and fine+compositing
+    each run as ONE kernel with no per-point XLA arrays at all
+    (ops/nerf_kernels.proposal_z_rows / fine_composite_t). Measured
+    slightly slower than two-kernel on v5e — the in-kernel inverse-CDF
+    loop wastes VPU lanes on the ray axis — kept for future
+    int8/mixed-precision variants where the balance shifts.
 """
 
 from __future__ import annotations
@@ -79,11 +85,13 @@ class FastNeRFH:
         )
 
     def ray_align(self, settings: RenderSettings) -> int:
-        """Ray-count alignment both kernels need (pad to a multiple)."""
+        """Ray-count alignment all kernels need (pad to a multiple)."""
         import math
         rc = nk.coarse_ray_tile(settings.N_samples)
         rf = nk.ray_tile(settings.N_samples + settings.N_importance)
-        return rc * rf // math.gcd(rc, rf)
+        rs = nk.tile_geometry(settings.N_samples, target=2048)[0]
+        a = rc * rf // math.gcd(rc, rf)
+        return a * rs // math.gcd(a, rs)
 
 
 def _shifted_cumprod_lanes(alphas):
@@ -164,20 +172,58 @@ def composite_soa(raw16, z_all, beta_min: float = 0.1,
                 [(static_w_ * srgb[c]).sum(-1) for c in range(3)], -1)}
 
 
+def _per_ray_conditioning(fast: FastNeRFH, rays_d, hist):
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dir_emb = fast.model.embed_dir(viewdirs)
+    a_emb = lookup_hist_embedding(fast.params["embedding_a"], hist)
+    t_emb = lookup_hist_embedding(fast.params["embedding_t"], hist)
+    return nk.per_ray_row(fast.params["fine"], fast.model.cfg_fine,
+                          dir_emb, a_emb, t_emb)
+
+
 def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
-                     settings: RenderSettings, exact_union: bool = False,
+                     settings: RenderSettings, exact_union: bool = True,
+                     mono: Optional[bool] = None,
                      interpret: Optional[bool] = None) -> Dict:
     """Test-time render of a ray batch through the fused kernels.
 
     Matches render_rays(test settings) up to bf16 kernel rounding when
-    exact_union=True; the default blended-CDF mode changes only the
-    fine-sample PLACEMENT (same marginal density, sorted by
-    construction). Ray count must be a multiple of fast.ray_align()."""
+    exact_union=True; the blended-CDF mode changes only the fine-sample
+    PLACEMENT (same marginal density, sorted by construction; PSNR
+    validated equal in QUALITY.md). `mono` (default when a proposal is
+    packed and exact_union=False) runs the whole pipeline in TWO kernel
+    launches: sampling (proposal sweep -> sigma -> weights -> blended
+    inverse CDF) and fine sweep + compositing, with no per-point XLA
+    arrays at all. Ray count must be a multiple of fast.ray_align()."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     model = fast.model
     n = rays_o.shape[0]
     S = settings.N_samples
+    mono_ok = fast.packed_proposal is not None and not exact_union
+    if mono is None:
+        # measured on v5e: the two-kernel path wins — XLA's masked-
+        # reduction inverse CDF streams at full HBM bandwidth while the
+        # in-kernel loop wastes VPU lanes on the ray axis. Kept as an
+        # option for future int8/mixed variants.
+        mono = False
+    if mono and mono_ok:
+        n_total = S + settings.N_importance
+        dpt = _per_ray_conditioning(fast, rays_d, hist)
+        z_rows = nk.proposal_z_rows(
+            fast.packed_proposal, rays_o, rays_d, fast.spec_proposal, S,
+            n_total, float(settings.near), float(settings.far),
+            lam=S / n_total, interpret=interpret)
+        out = nk.fine_composite_t(fast.packed_fine, rays_o, rays_d, z_rows,
+                                  dpt, fast.spec_fine, interpret=interpret)
+        rgb = jnp.transpose(out[0:3])
+        acc = out[3]
+        depth = out[4]
+        if settings.white_bkgd:
+            rgb = rgb + (1.0 - acc)[:, None]
+        disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+        return {"rgb": rgb, "disp": disp, "acc": acc, "depth": depth,
+                "rgb_static_only": jnp.transpose(out[5:8])}
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     # sample placement: trained proposal sampler when available (same

@@ -158,3 +158,63 @@ def test_fast_path_gating(nerfh):
     bad = dataclasses.replace(model, cfg_fine=dataclasses.replace(
         model.cfg_fine, out_ch=131))
     assert not fast_path_supported(bad, settings)
+
+
+def test_mono_path_matches_blend(nerfh):
+    """The mono path (in-kernel sampling + compositing) must match the
+    two-kernel blended-CDF path."""
+    cfg, model, params = nerfh
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    fast = FastNeRFH.pack(params, model)
+    assert fast.packed_proposal is not None
+    N = fast.ray_align(settings) * 2
+    key = jax.random.PRNGKey(11)
+    ro = jax.random.normal(key, (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(12), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    hist = jax.random.randint(jax.random.PRNGKey(13), (N, cfg.hist_bin), 0, 10)
+    want = render_rays_fast(fast, ro, rd, hist, settings, exact_union=False,
+                            mono=False, interpret=True)
+    got = render_rays_fast(fast, ro, rd, hist, settings, exact_union=False,
+                           mono=True, interpret=True)
+    for k in ("rgb", "acc", "depth", "disp"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=3e-2, rtol=3e-2)
+
+
+def test_proposal_z_rows_matches_blend_sampling(nerfh):
+    """In-kernel sampling == XLA sample_pdf_blend over the proposal's
+    composited weights."""
+    from dfnet_tpu.models.nerfw import nerfw_apply_rays
+    from dfnet_tpu.render.fast import _shifted_cumprod_lanes
+    from dfnet_tpu.render.sampling import stratified_z_vals
+
+    cfg, model, params = nerfh
+    cp = model.cfg_proposal
+    packed = nk.pack_coarse_t(params["proposal"], cp, model.embed_xyz)
+    spec = nk.KernelSpec(D=cp.D, skip=-1, F=model.embed_xyz.num_freqs,
+                         fine=False, pe_mac=True)
+    S, S_f = 64, 128
+    R = nk.tile_geometry(S, target=2048)[0]
+    N = R * 2
+    ro = jax.random.normal(jax.random.PRNGKey(1), (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(2), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    lam = S / float(S_f)
+    zr = nk.proposal_z_rows(packed, ro, rd, spec, S, S_f, 0.0, 2.5, lam,
+                            interpret=True)
+    z_k = np.asarray(zr[0]).reshape(N, S_f)
+
+    z_vals = stratified_z_vals(jnp.zeros((N, 1)), jnp.full((N, 1), 2.5), S,
+                               None, False, 0.0)
+    pts = ro[:, None, :] + rd[:, None, :] * z_vals[..., None]
+    sig = nerfw_apply_rays(params["proposal"], cp, model.embed_xyz(pts),
+                           sigma_only=True)[..., 0]
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    deltas = jnp.concatenate([deltas, 1e2 * jnp.ones_like(deltas[:, :1])], -1)
+    alphas = 1.0 - jnp.exp(-deltas * sig)
+    w = alphas * _shifted_cumprod_lanes(alphas)
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_ref = np.asarray(sample_pdf_blend(z_mid, w[..., 1:-1], S_f, lam))
+    np.testing.assert_allclose(z_k, z_ref, atol=2e-3)
+    assert (np.diff(z_k, axis=-1) >= -1e-5).all()
