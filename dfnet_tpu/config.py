@@ -133,6 +133,7 @@ class Config:
     proposal: bool = True               # train a tiny proposal sampler alongside NeRF-H stage 1
     proposal_D: int = 2                 # proposal MLP depth
     proposal_W: int = 64                # proposal MLP width
+    proposal_multires: int = 4          # proposal PE frequencies (small: cheap features suffice)
     proposal_loss_w: float = 1.0        # weight of the interlevel bound loss
     proposal_render: bool = True        # place test-render samples with the proposal net when present
     mesh_shape: Optional[int] = None    # data-parallel mesh size; None = all local devices

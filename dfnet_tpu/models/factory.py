@@ -49,13 +49,18 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
     kc, kf, ke, kp = jax.random.split(key, 4)
     params = {"coarse": init_nerfw_params(kc, cfg_coarse)}
     cfg_proposal = None
+    embed_proposal = None
     if cfg.proposal and cfg.N_importance > 0:
         # tiny sigma-only sampler, trained alongside stage 1 with an
         # interlevel bound loss; replaces the D=8/W=128 coarse sweep for
-        # test-render sample placement (TPU speed knob, see render/fast)
+        # test-render sample placement (TPU speed knob, see render/fast).
+        # Its own small PE (proposal_multires) keeps the fused kernel's
+        # feature/sine work proportional to the tiny MLP.
+        embed_proposal = get_embedder(cfg.proposal_multires, cfg.i_embed,
+                                      input_dims=3)
         cfg_proposal = NeRFWConfig(
             D=cfg.proposal_D, W=cfg.proposal_W, skips=(),
-            in_xyz=embed_xyz.out_dim, in_dir=embed_dir.out_dim,
+            in_xyz=embed_proposal.out_dim, in_dir=embed_dir.out_dim,
             compute_dtype=dtype)
         params["proposal"] = init_sigma_mlp(kp, cfg_proposal)
     if cfg.N_importance > 0:
@@ -74,7 +79,8 @@ def create_nerfh(cfg: Config, key: jax.Array) -> Tuple[NeRFHModel, Dict]:
 
     model = NeRFHModel(cfg_coarse=cfg_coarse, cfg_fine=cfg_fine,
                        embed_xyz=embed_xyz, embed_dir=embed_dir,
-                       cfg_proposal=cfg_proposal)
+                       cfg_proposal=cfg_proposal,
+                       embed_proposal=embed_proposal)
     return model, params
 
 

@@ -91,13 +91,22 @@ def _fast_sin(x):
 # packing (weights transposed: out-features in rows)
 # ---------------------------------------------------------------------------
 
+def pe_rows_for(F: int) -> int:
+    """Feature-row count for F frequencies, rounded to a bf16 sublane
+    tile (16). Small-F MLPs (the proposal) pay proportionally less
+    PE/sine work."""
+    n = 6 * F + 3
+    return max(64, -(-n // 64) * 64)
+
+
 def _lane_perm(F: int) -> np.ndarray:
     """kernel feature-row -> reference PE row. Kernel xs rows:
     [sin args f0..fF (3 each) | cos args | raw xyz | zeros]; reference
     rows: [xyz(3), sin f0(3), cos f0(3), sin f1(3), ...]."""
+    rows = pe_rows_for(F)
     if 6 * F + 3 > LANES:
         raise ValueError(f"multires {F} needs {6*F+3} feature rows > {LANES}")
-    perm = np.full((LANES,), -1, np.int64)
+    perm = np.full((rows,), -1, np.int64)
     for k in range(F):
         for c in range(3):
             perm[3 * k + c] = 3 + 6 * k + c
@@ -109,12 +118,13 @@ def _lane_perm(F: int) -> np.ndarray:
 
 def pe_matrices(emb: Embedder) -> Tuple[np.ndarray, np.ndarray]:
     """(M_T, phase_col): xs_t = M_T @ pts_t + phase_col.
-    M_T (LANES, 3) f32, phase_col (LANES, 1) f32. Raw-xyz rows get an
+    M_T (rows, 3) f32, phase_col (rows, 1) f32. Raw-xyz rows get an
     identity entry; sin is masked off for rows >= 6F in-kernel."""
     F = emb.num_freqs
+    rows = pe_rows_for(F)
     bands = emb.freq_bands
-    M = np.zeros((LANES, 3), np.float32)
-    phase = np.zeros((LANES, 1), np.float32)
+    M = np.zeros((rows, 3), np.float32)
+    phase = np.zeros((rows, 1), np.float32)
     for k in range(F):
         for c in range(3):
             M[3 * k + c, c] = bands[k]
@@ -145,9 +155,9 @@ def _b_col(params, name):
 
 
 def _expand_cols(wT: jnp.ndarray, perm: np.ndarray, scale=None) -> jnp.ndarray:
-    """(out, in_xyz) transposed weight -> (out, LANES): columns placed
+    """(out, in_xyz) transposed weight -> (out, rows): columns placed
     per `perm`, dead feature rows' columns zero."""
-    out = jnp.zeros((wT.shape[0], LANES), wT.dtype)
+    out = jnp.zeros((wT.shape[0], perm.shape[0]), wT.dtype)
     live = perm >= 0
     cols = wT[:, perm[live]]
     if scale is not None:
@@ -164,7 +174,7 @@ def pack_trunk_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
     perm = _lane_perm(F)
     scale = None
     if freq_window is not None:
-        scale = np.ones((LANES,), np.float32)
+        scale = np.ones((perm.shape[0],), np.float32)
         for k in range(F):
             for c in range(3):
                 scale[3 * k + c] = freq_window[k]

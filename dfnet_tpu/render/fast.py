@@ -63,9 +63,10 @@ class FastNeRFH:
         if (use_proposal and model.cfg_proposal is not None
                 and "proposal" in params):
             cp = model.cfg_proposal
-            packed_p = nk.pack_coarse_t(params["proposal"], cp,
-                                        model.embed_xyz)
-            spec_p = nk.KernelSpec(D=cp.D, skip=eff_skip(cp), F=F, fine=False,
+            emb_p = model.embed_proposal or model.embed_xyz
+            packed_p = nk.pack_coarse_t(params["proposal"], cp, emb_p)
+            spec_p = nk.KernelSpec(D=cp.D, skip=eff_skip(cp),
+                                   F=emb_p.num_freqs, fine=False,
                                    pe_mac=True)
         return cls(
             model=model,
@@ -270,9 +271,17 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
                          white_bkgd=settings.white_bkgd)
 
 
+# On the CPU backend the kernels run in (slow) interpret mode — only
+# useful for parity tests, so production call sites skip the fast path
+# there. Tests flip this to exercise the integration on CPU.
+ALLOW_INTERPRET_PATH = False
+
+
 def fast_path_supported(model, settings: RenderSettings) -> bool:
     """Whether the fused kernels can serve this model/settings combo
     (NeRF-H rgb model, tileable sample counts, full-frequency PE)."""
+    if jax.default_backend() == "cpu" and not ALLOW_INTERPRET_PATH:
+        return False
     if not isinstance(model, NeRFHModel):
         return False
     if model.cfg_fine.out_ch != 3 or settings.N_importance <= 0:

@@ -66,6 +66,7 @@ class NeRFHModel:
     embed_xyz: Embedder
     embed_dir: Embedder
     cfg_proposal: Optional[NeRFWConfig] = None
+    embed_proposal: Optional[Embedder] = None
 
 
 def composite_nerfw(raw, z_vals, output_transient: bool, beta_min: float = 0.1,

@@ -121,7 +121,7 @@ class NeRFTrainer:
                        + rays_d[:, None, :] * z_vals[..., None])
                 sig_p = nerfw_apply_rays(
                     params["proposal"], model.cfg_proposal,
-                    model.embed_xyz(pts, ep), sigma_only=True)
+                    model.embed_proposal(pts), sigma_only=True)
                 comp_p = composite_nerfw(sig_p, z_vals,
                                          output_transient=False,
                                          sigma_only=True)

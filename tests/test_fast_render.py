@@ -96,7 +96,10 @@ def test_coarse_kernel_matches_xla_sigma(nerfh):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
-def test_render_rays_fast_matches_render_rays(nerfh):
+def test_render_rays_fast_matches_render_rays(nerfh, monkeypatch):
+    import dfnet_tpu.render.fast as fast_mod
+
+    monkeypatch.setattr(fast_mod, "ALLOW_INTERPRET_PATH", True)
     cfg, model, params = nerfh
     settings = render_settings(cfg, 0.0, 2.5, test=True)
     fast = FastNeRFH.pack(params, model)
@@ -146,9 +149,14 @@ def test_render_image_fast_matches_render_image(nerfh):
                                    atol=3e-2, rtol=3e-2)
 
 
-def test_fast_path_gating(nerfh):
+def test_fast_path_gating(nerfh, monkeypatch):
+    import dfnet_tpu.render.fast as fast_mod
+
     cfg, model, params = nerfh
     settings = render_settings(cfg, 0.0, 2.5, test=True)
+    # CPU backend is gated off unless tests opt in
+    assert not fast_path_supported(model, settings)
+    monkeypatch.setattr(fast_mod, "ALLOW_INTERPRET_PATH", True)
     assert fast_path_supported(model, settings)
     # no importance -> unsupported
     import dataclasses
@@ -191,8 +199,8 @@ def test_proposal_z_rows_matches_blend_sampling(nerfh):
 
     cfg, model, params = nerfh
     cp = model.cfg_proposal
-    packed = nk.pack_coarse_t(params["proposal"], cp, model.embed_xyz)
-    spec = nk.KernelSpec(D=cp.D, skip=-1, F=model.embed_xyz.num_freqs,
+    packed = nk.pack_coarse_t(params["proposal"], cp, model.embed_proposal)
+    spec = nk.KernelSpec(D=cp.D, skip=-1, F=model.embed_proposal.num_freqs,
                          fine=False, pe_mac=True)
     S, S_f = 64, 128
     R = nk.tile_geometry(S, target=2048)[0]
@@ -208,7 +216,7 @@ def test_proposal_z_rows_matches_blend_sampling(nerfh):
     z_vals = stratified_z_vals(jnp.zeros((N, 1)), jnp.full((N, 1), 2.5), S,
                                None, False, 0.0)
     pts = ro[:, None, :] + rd[:, None, :] * z_vals[..., None]
-    sig = nerfw_apply_rays(params["proposal"], cp, model.embed_xyz(pts),
+    sig = nerfw_apply_rays(params["proposal"], cp, model.embed_proposal(pts),
                            sigma_only=True)[..., 0]
     deltas = z_vals[:, 1:] - z_vals[:, :-1]
     deltas = jnp.concatenate([deltas, 1e2 * jnp.ones_like(deltas[:, :1])], -1)
@@ -218,3 +226,32 @@ def test_proposal_z_rows_matches_blend_sampling(nerfh):
     z_ref = np.asarray(sample_pdf_blend(z_mid, w[..., 1:-1], S_f, lam))
     np.testing.assert_allclose(z_k, z_ref, atol=2e-3)
     assert (np.diff(z_k, axis=-1) >= -1e-5).all()
+
+
+def test_trainer_and_frozen_nerf_use_fast_path(monkeypatch, tmp_path):
+    """Integration: with the CPU gate lifted, NeRFTrainer eval renders and
+    FrozenNeRF no-grad renders route through the fused kernels."""
+    import dfnet_tpu.render.fast as fast_mod
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
+    from dfnet_tpu.training.nerf_renderer import FrozenNeRF
+    from dfnet_tpu.training.nerf_trainer import NeRFTrainer
+
+    monkeypatch.setattr(fast_mod, "ALLOW_INTERPRET_PATH", True)
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+        "--netwidth_fine", "16", "--N_samples", "8", "--N_importance", "8",
+        "--N_rand", "32", "--basedir", str(tmp_path),
+    ], stage="nerf")
+    scene = make_synthetic_scene(n_train=2, n_val=1, H=8, W=8, seed=0)
+    model, _ = create_nerfh(cfg, jax.random.PRNGKey(0))
+    st = render_settings(cfg, scene.near, scene.far, test=True)
+    assert fast_mod.fast_path_supported(model, st)
+    tr = NeRFTrainer(cfg, scene)
+    psnr = tr.render_split(scene.val)
+    assert np.isfinite(psnr)
+    nerf = FrozenNeRF(cfg, scene.hwf, scene.near, scene.far,
+                      scene.world_setup, params=tr.params, model=tr.model)
+    rgb = np.asarray(nerf.render_at_pose(scene.val.poses[0],
+                                         scene.val.hists[0]))
+    assert rgb.shape[-1] == 3 and np.isfinite(rgb).all()

@@ -72,6 +72,7 @@ def test_fast_render_proposal_placement_matches_when_copied():
     cfg = parse_args([
         "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
         "--precision", "bf16", "--proposal_D", "8", "--proposal_W", "128",
+        "--proposal_multires", "10",
     ], stage="nerf")
     model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
     # copy coarse trunk + sigma head into the proposal (same D/W)
@@ -80,7 +81,8 @@ def test_fast_render_proposal_placement_matches_when_copied():
     prop["static_sigma"] = params["coarse"]["static_sigma"]
     params["proposal"] = prop
     model = dataclasses.replace(
-        model, cfg_proposal=dataclasses.replace(model.cfg_coarse))
+        model, cfg_proposal=dataclasses.replace(model.cfg_coarse),
+        embed_proposal=model.embed_xyz)
     settings = render_settings(cfg, 0.0, 2.5, test=True)
     fast = FastNeRFH.pack(params, model, use_proposal=True)
     assert fast.packed_proposal is not None
