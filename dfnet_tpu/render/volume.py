@@ -418,9 +418,32 @@ def render_image_sharded(
     'data' axis via shard_map — each chip renders its ray slice with
     locally chunked `lax.map` blocks, params replicated, no collectives
     (the TPU-native replacement for the reference's chunk loop at
-    multi-chip scale)."""
+    multi-chip scale). Each shard's work goes through the fused Pallas
+    kernels when supported (embarrassingly parallel — per-chip
+    throughput carries over, so an N-chip slice renders ~N× bench.py's
+    rays/s)."""
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
+
+    use_fast = False
+    try:
+        from dfnet_tpu.render.fast import FastNeRFH, fast_path_supported, \
+            render_rays_fast
+
+        if fast_path_supported(model, settings):
+            import math
+
+            from dfnet_tpu.ops import nerf_kernels as nk
+
+            use_fast = True
+            align = 1
+            for r in (nk.coarse_ray_tile(settings.N_samples),
+                      nk.ray_tile(settings.N_samples + settings.N_importance),
+                      nk.tile_geometry(settings.N_samples, target=2048)[0]):
+                align = align * r // math.gcd(align, r)
+            chunk = max(chunk // align, 1) * align
+    except ValueError:
+        use_fast = False
 
     n_dev = mesh.devices.size
     rays_o, rays_d = get_rays(H, W, focal, c2w)
@@ -436,10 +459,14 @@ def render_image_sharded(
 
     def worker(params, ro, rd, hist_b):
         nch = ro.shape[0] // chunk
+        fast = FastNeRFH.pack(params, model) if use_fast else None
 
         def body(args):
             o, d = args
-            r = render_rays(params, model, o, d, hist_b, settings)
+            if fast is not None:
+                r = render_rays_fast(fast, o, d, hist_b, settings)
+            else:
+                r = render_rays(params, model, o, d, hist_b, settings)
             return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
 
         res = jax.lax.map(body, (ro.reshape(nch, chunk, 3),
@@ -447,10 +474,25 @@ def render_image_sharded(
         return {k: v.reshape((nch * chunk,) + v.shape[2:])
                 for k, v in res.items()}
 
-    sharded = shard_map(
-        worker, mesh=mesh,
-        in_specs=(P(), P("data", None), P("data", None), P()),
-        out_specs={"rgb": P("data", None), "disp": P("data"), "acc": P("data")},
-    )
+    kw = {}
+    if use_fast:
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        kw = {"check_vma": False}
+    try:
+        sharded = shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(), P("data", None), P("data", None), P()),
+            out_specs={"rgb": P("data", None), "disp": P("data"),
+                       "acc": P("data")},
+            **kw,
+        )
+    except TypeError:  # older jax: check_rep
+        sharded = shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(), P("data", None), P("data", None), P()),
+            out_specs={"rgb": P("data", None), "disp": P("data"),
+                       "acc": P("data")},
+            **({"check_rep": False} if use_fast else {}),
+        )
     res = sharded(params, rays_o, rays_d, hist_b)
     return {k: v[:n].reshape((H, W) + v.shape[1:]) for k, v in res.items()}
