@@ -78,13 +78,13 @@ def main():
         from dfnet_tpu.training.nerf_trainer import NeRFTrainer
 
         tcfg = cfg.replace(N_rand=1536)
-        scene = make_synthetic_scene(n_train=8, n_val=1, H=48, W=64,
+        scene = make_synthetic_scene(n_train=32, n_val=1, H=48, W=64,
                                      focal=60.0, seed=0)
         trainer = NeRFTrainer(tcfg, scene)
-        trainer.train_epoch(0)  # compile + warm (8 steps, one sync)
+        trainer.train_epoch(0)  # compile + warm (one dispatch per epoch)
         best = 0.0
         for _ in range(3):
-            epochs = 4
+            epochs = 2
             t0 = time.perf_counter()
             for e in range(epochs):
                 trainer.train_epoch(e + 1)   # syncs once per epoch

@@ -158,6 +158,26 @@ class NeRFTrainer:
         donate = (0, 1) if self.cfg.donate_step else ()
         self._step = jax.jit(step, donate_argnums=donate)
 
+        # whole-epoch driver: fori_loop over the shuffled image order so an
+        # epoch is ONE dispatch (the per-step dispatch overhead through the
+        # device relay costs ~8 ms/step — ~60% of the step itself)
+        def epoch_fn(params, opt_state, images, poses, hists, order, rng,
+                     lr, epoch):
+            def body(j, carry):
+                params, opt_state, loss, psnr, rng = carry
+                rng, k = jax.random.split(rng)
+                params, opt_state, loss, psnr = step(
+                    params, opt_state, images, poses, hists, order[j], k,
+                    lr, epoch)
+                return (params, opt_state, loss, psnr, rng)
+
+            init = (params, opt_state, jnp.float32(0.0), jnp.float32(0.0), rng)
+            params, opt_state, loss, psnr, rng = jax.lax.fori_loop(
+                0, order.shape[0], body, init)
+            return params, opt_state, loss, psnr, rng
+
+        self._epoch = jax.jit(epoch_fn, donate_argnums=donate)
+
         # --render_factor: downsampled eval renders for fast preview
         rf = max(int(cfg.render_factor), 1) if cfg.render_factor else 1
         eh, ew, ef = H // rf, W // rf, focal / rf
@@ -188,19 +208,17 @@ class NeRFTrainer:
 
     # ------------------------------------------------------------- epochs
     def train_epoch(self, epoch: int) -> Tuple[float, float]:
-        """One pass over shuffled train images; returns last (loss, psnr)
-        like the reference (run_nerf.py:32-80 returns the final batch's)."""
+        """One pass over shuffled train images as a single dispatch;
+        returns last (loss, psnr) like the reference (run_nerf.py:32-80
+        returns the final batch's)."""
         cfg, tr = self.cfg, self.scene.train
         lr = exp_decayed_lr(cfg, self.global_step)
-        n = len(tr)
-        order = np.random.permutation(n)
-        loss = psnr = None
-        for i in order:
-            self.rng, k = jax.random.split(self.rng)
-            self.params, self.opt_state, loss, psnr = self._step(
-                self.params, self.opt_state,
-                self._dev_images, self._dev_poses, self._dev_hists,
-                jnp.int32(i), k, lr, jnp.float32(epoch))
+        order = jnp.asarray(np.random.permutation(len(tr)).astype(np.int32))
+        self.rng, k = jax.random.split(self.rng)
+        self.params, self.opt_state, loss, psnr, _ = self._epoch(
+            self.params, self.opt_state,
+            self._dev_images, self._dev_poses, self._dev_hists,
+            order, k, lr, jnp.float32(epoch))
         self.global_step += 1
         return float(loss), float(psnr)
 
