@@ -140,6 +140,7 @@ class Config:
     prefetch: int = 0                   # >0: double-buffered host→HBM batches (depth), for
                                         # larger-than-HBM datasets; 0 = device-resident/sync
     donate_step: bool = True            # donate params/opt_state buffers in jitted steps
+    check_numerics: bool = False        # failure detection: error out on NaN/Inf in any jitted op
     rng_seed: int = 0
     vgg_init_path: str = ""             # converted ImageNet VGG16 .npz (see convert.py)
 
@@ -279,3 +280,16 @@ def parse_args(argv: Optional[List[str]] = None, stage: str = "nerf") -> Config:
     if unknown:
         print(f"[config] ignoring unknown keys: {sorted(unknown)}", file=sys.stderr)
     return cfg
+
+
+def apply_runtime_flags(cfg: Config) -> None:
+    """Apply config knobs that act on the JAX runtime (call once per CLI).
+
+    check_numerics is the failure-detection knob: every jitted function
+    is re-run op-by-op when a NaN/Inf appears and raises with the
+    originating primitive — catching divergence at the step that caused
+    it instead of at the next checkpoint."""
+    if cfg.check_numerics:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)

@@ -14,7 +14,7 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 import numpy as np
 
-from dfnet_tpu.config import parse_args
+from dfnet_tpu.config import parse_args, apply_runtime_flags
 from dfnet_tpu.data.loader import load_scene
 from dfnet_tpu.training.feature_trainer import FeatureTrainer
 from dfnet_tpu.training.nerf_renderer import FrozenNeRF
@@ -56,6 +56,7 @@ def render_features(cfg, scene, trainer, out_root="./tmp/features"):
 
 def train(argv=None):
     cfg = parse_args(argv, stage="feature")
+    apply_runtime_flags(cfg)
     if cfg.dataset_type not in ("7Scenes", "Cambridge", "synthetic"):
         print("Unknown dataset type", cfg.dataset_type, "exiting")
         return

@@ -14,7 +14,7 @@ import time
 
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
-from dfnet_tpu.config import parse_args
+from dfnet_tpu.config import parse_args, apply_runtime_flags
 from dfnet_tpu.data.loader import load_scene
 from dfnet_tpu.training.nerf_trainer import NeRFTrainer, exp_decayed_lr
 
@@ -32,6 +32,7 @@ def dump_args(cfg):
 
 def train(argv=None):
     cfg = parse_args(argv, stage="nerf")
+    apply_runtime_flags(cfg)
     print(f"[run_nerf] dataset={cfg.dataset_type} datadir={cfg.datadir}")
     scene = load_scene(cfg, stage="nerf")
     print(f"[run_nerf] NEAR FAR {scene.near} {scene.far} "

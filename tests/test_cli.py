@@ -138,3 +138,20 @@ def test_make_mesh_refuses_oversubscription():
     assert mesh_from_config(Config(mesh_shape=1)) is None
     assert mesh_from_config(Config(mesh_shape=0)).devices.size == n
     assert mesh_from_config(Config(mesh_shape=n)).devices.size == n
+
+
+def test_check_numerics_flag(tmp_path, monkeypatch):
+    """--check_numerics turns on the NaN/Inf failure detector (and a run
+    with healthy numerics still completes)."""
+    import jax
+
+    import run_nerf
+
+    argv = TINY + ["--basedir", str(tmp_path), "--expname", "nerfh",
+                   "--epochs", "1", "--i_weights", "1000",
+                   "--i_testset", "1000", "--check_numerics"]
+    try:
+        run_nerf.train(argv)
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)

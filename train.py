@@ -15,7 +15,7 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 import numpy as np
 
-from dfnet_tpu.config import parse_args
+from dfnet_tpu.config import parse_args, apply_runtime_flags
 from dfnet_tpu.data.loader import load_scene
 from dfnet_tpu.training.dm_trainer import DMTrainer
 from dfnet_tpu.training.nerf_renderer import FrozenNeRF
@@ -44,6 +44,7 @@ def _setup(cfg):
 
 def train(argv=None):
     cfg = parse_args(argv, stage="dm")
+    apply_runtime_flags(cfg)
     scene, nerf = _setup(cfg)
     trainer = DMTrainer(cfg, scene, nerf)
     rng = np.random.default_rng(cfg.rng_seed)
@@ -71,6 +72,7 @@ def train(argv=None):
 
 def evaluate(argv=None):
     cfg = parse_args(argv, stage="dm")
+    apply_runtime_flags(cfg)
     scene = load_scene(cfg, stage="apr")
     from dfnet_tpu.training.feature_trainer import load_dfnet_params
     from dfnet_tpu.models.dfnet import DFNetConfig, dfnet_forward
