@@ -183,8 +183,8 @@ def pack_trunk_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
     skip = cfg.skips[0] if cfg.skips and cfg.skips[0] < cfg.D else -1
     M, phase = pe_matrices(emb)
     p = {
-        "pe_m": jnp.asarray(M),                       # (LANES, 3) f32
-        "pe_phase": jnp.asarray(phase),               # (LANES, 1) f32
+        "pe_m": jnp.asarray(M),                       # (rows, 3) f32
+        "pe_phase": jnp.asarray(phase),               # (rows, 1) f32
         "w0": _expand_cols(_wT(params, "xyz_0"), perm, scale),
         "b_trunk": jnp.stack([_b_col(params, f"xyz_{i}") for i in range(cfg.D)]),
     }
@@ -397,22 +397,28 @@ def _coarse_kernel_t(spec: KernelSpec, S: int, near: float, far: float,
     out_ref[...] = (_dot(p["w_sigma8"], h) + p["b_sigma8"]).astype(jnp.float32)
 
 
+def _fine_raw_rows(p, od, z_row, dpt_tile, exp_f32, exp_bf, spec):
+    """Shared fine-sweep body: -> (LANES, T) f32 pre-activation raw rows
+    [rgb 0:3, sigma 3, trgb 4:7, tsigma 7, tbeta 8, ...]."""
+    x0 = _pts_to_x0(p, od, z_row, exp_f32, spec)
+    h = _trunk_t(p, x0, spec)
+    W = p["w_dt"].shape[0]                              # dir|trans stream width
+    dpt = _dot(dpt_tile, exp_bf)[:W]                    # (W, T) f32
+    dt = jnp.maximum(_dot(p["w_dt"], h) + p["b_dt_fold"] + dpt, 0.0
+                     ).astype(jnp.bfloat16)
+    for i in range(3):
+        dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
+                         ).astype(jnp.bfloat16)
+    return _dot(p["w_heads"], dt) + _dot(p["w_sigma_pad"], h) + p["b_heads"]
+
+
 def _fine_kernel_t(spec: KernelSpec, names, *refs):
     od_ref, z_ref, dpt_ref, out_ref = refs[0], refs[1], refs[2], refs[-1]
     p = {k: r[...] for k, r in zip(names, refs[3:-3])}
     exp_f32 = refs[-3][...]
     exp_bf = refs[-2][...]
     z_row = z_ref[0][0:1]                               # (1, T) f32
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
-    h = _trunk_t(p, x0, spec)
-    W = p["w_dt"].shape[0]                              # dir|trans stream width
-    dpt = _dot(dpt_ref[0], exp_bf)[:W]                  # (W, T) f32
-    dt = jnp.maximum(_dot(p["w_dt"], h) + p["b_dt_fold"] + dpt, 0.0
-                     ).astype(jnp.bfloat16)
-    for i in range(3):
-        dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
-                         ).astype(jnp.bfloat16)
-    out = _dot(p["w_heads"], dt) + _dot(p["w_sigma_pad"], h) + p["b_heads"]
+    out = _fine_raw_rows(p, od_ref[0], z_row, dpt_ref[0], exp_f32, exp_bf, spec)
     out_ref[...] = out[:OUT_ROWS].astype(jnp.float32)
 
 
@@ -765,16 +771,7 @@ def _fine_composite_kernel_t(spec: KernelSpec, S: int, names, *refs):
     exp_f32 = refs[-3][...]
     exp_bf = refs[-2][...]
     z_row = z_ref[0:1, :]                               # (1, T) f32
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
-    h = _trunk_t(p, x0, spec)
-    W = p["w_dt"].shape[0]
-    dpt = _dot(dpt_ref[0], exp_bf)[:W]
-    dt = jnp.maximum(_dot(p["w_dt"], h) + p["b_dt_fold"] + dpt, 0.0
-                     ).astype(jnp.bfloat16)
-    for i in range(3):
-        dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
-                         ).astype(jnp.bfloat16)
-    raw = _dot(p["w_heads"], dt) + _dot(p["w_sigma_pad"], h) + p["b_heads"]
+    raw = _fine_raw_rows(p, od_ref[0], z_row, dpt_ref[0], exp_f32, exp_bf, spec)
 
     # activations + composite (volume.composite_nerfw, test_time=True)
     srgb = _k_sigmoid(raw[0:3])
