@@ -97,3 +97,32 @@ def test_index_mode_render_rays_uses_per_frame_rows():
                        jnp.full((n, 1), 7, jnp.int32), settings)
     assert out0["rgb"].shape == (n, 3)
     assert not np.allclose(np.asarray(out0["rgb"]), np.asarray(out7["rgb"]))
+
+
+def test_fast_path_index_mode_parity():
+    """The fused render path handles index-mode (encode_hist=False)
+    conditioning: hist is a (N,1) frame-index column and the embedding
+    lookup returns full-width rows (reference nerfw.py:69-95)."""
+    import numpy as np
+
+    from dfnet_tpu.models.factory import create_nerfh, render_settings
+    from dfnet_tpu.render.fast import FastNeRFH, render_rays_fast
+    from dfnet_tpu.render.volume import render_rays
+
+    cfg = parse_args([
+        "--NeRFH", "--dataset_type", "synthetic", "--precision", "bf16",
+    ], stage="nerf")
+    assert not cfg.encode_hist
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    fast = FastNeRFH.pack(params, model)
+    N = fast.ray_align(settings)
+    ro = jax.random.normal(jax.random.PRNGKey(1), (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.PRNGKey(2), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    idx = jax.random.randint(jax.random.PRNGKey(3), (N, 1), 0, 5)
+    want = render_rays(params, model, ro, rd, idx, settings)
+    got = render_rays_fast(fast, ro, rd, idx, settings, exact_union=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(want["rgb"]),
+                               atol=3e-2, rtol=3e-2)
