@@ -195,6 +195,15 @@ class NeRFTrainer:
                                          ef, self.settings_test,
                                          chunk=min(cfg.chunk, eh * ew),
                                          use_proposal=cfg.proposal_render)
+        elif mesh is not None and cfg.reduce_embedding != 2:
+            from dfnet_tpu.render.volume import render_image_sharded
+
+            def render_one(params, pose, hist, epoch):
+                # shard_map over the mesh's ray axis; each shard uses the
+                # fused kernels when the backend supports them
+                return render_image_sharded(params, model, pose, hist, eh,
+                                            ew, ef, self.settings_test, mesh,
+                                            chunk=min(cfg.chunk, eh * ew))
         else:
             def render_one(params, pose, hist, epoch):
                 ep = epoch if cfg.reduce_embedding == 2 else None
