@@ -255,3 +255,29 @@ def test_trainer_and_frozen_nerf_use_fast_path(monkeypatch, tmp_path):
     rgb = np.asarray(nerf.render_at_pose(scene.val.poses[0],
                                          scene.val.hists[0]))
     assert rgb.shape[-1] == 3 and np.isfinite(rgb).all()
+
+
+def test_sharded_render_uses_fast_path_on_mesh(monkeypatch):
+    """render_image_sharded + fused kernels agree with the single-device
+    XLA render on the 8-device CPU mesh (shard_map + interpret mode)."""
+    import dfnet_tpu.render.fast as fast_mod
+    from dfnet_tpu.parallel.mesh import make_mesh
+    from dfnet_tpu.render.volume import render_image_sharded
+
+    monkeypatch.setattr(fast_mod, "ALLOW_INTERPRET_PATH", True)
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+        "--netwidth_fine", "16", "--N_samples", "8", "--N_importance", "8",
+    ], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.5, 3.5, test=True)
+    mesh = make_mesh(8)
+    c2w = jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [1.0]])], -1)
+    hist = jnp.zeros((cfg.hist_bin,), jnp.int32)
+    out = render_image_sharded(params, model, c2w, hist, 16, 16, 20.0,
+                               settings, mesh, chunk=128)
+    ref = render_image(params, model, c2w, hist, 16, 16, 20.0, settings,
+                       chunk=128)
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(ref["rgb"]),
+                               atol=3e-2, rtol=3e-2)
