@@ -279,7 +279,12 @@ ALLOW_INTERPRET_PATH = False
 
 def fast_path_supported(model, settings: RenderSettings) -> bool:
     """Whether the fused kernels can serve this model/settings combo
-    (NeRF-H rgb model, tileable sample counts, full-frequency PE)."""
+    (NeRF-H rgb model, tileable sample counts, full-frequency PE).
+
+    Note the precision contract: the kernels always run bf16 matmuls
+    with f32 accumulation regardless of --precision (validated within
+    0.05 dB of the f32 XLA path in QUALITY.md); pass
+    --fast_render false for strictly-f32 evaluation."""
     if jax.default_backend() == "cpu" and not ALLOW_INTERPRET_PATH:
         return False
     if not isinstance(model, NeRFHModel):
