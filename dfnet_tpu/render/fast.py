@@ -134,12 +134,12 @@ def sample_pdf_blend(bins, weights, n_total: int, lam: float):
     return jax.lax.stop_gradient(bins_b + t * (bins_a - bins_b))
 
 
-def composite_soa(raw16, z_all, beta_min: float = 0.1,
-                  white_bkgd: bool = False) -> Dict:
+def composite_soa(raw16, z_all, white_bkgd: bool = False) -> Dict:
     """Test-time NeRF-W compositing from channel-major pre-activation
     raw (16, N, S) + z (N, S). Same math as volume.composite_nerfw
     (test_time=True): combined rgb, static-only recomposite for
-    depth/disp (reference rendering.py:132-243)."""
+    depth/disp (reference rendering.py:132-243). beta is not produced
+    (the fast path is test-time only; beta feeds only the train loss)."""
     srgb = jax.nn.sigmoid(raw16[0:3])            # (3, N, S)
     ssig = jax.nn.softplus(raw16[3])             # (N, S)
     trgb = jax.nn.sigmoid(raw16[4:7])
@@ -191,17 +191,22 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     Matches render_rays(test settings) up to bf16 kernel rounding when
     exact_union=True; the blended-CDF mode changes only the fine-sample
     PLACEMENT (same marginal density, sorted by construction; PSNR
-    validated equal in QUALITY.md). `mono` (default when a proposal is
-    packed and exact_union=False) runs the whole pipeline in TWO kernel
-    launches: sampling (proposal sweep -> sigma -> weights -> blended
-    inverse CDF) and fine sweep + compositing, with no per-point XLA
-    arrays at all. Ray count must be a multiple of fast.ray_align()."""
+    validated equal in QUALITY.md). `mono` (opt-in; requires a packed
+    proposal, exact_union=False and lindisp=False) runs the whole
+    pipeline in TWO kernel launches: sampling (proposal sweep -> sigma
+    -> weights -> blended inverse CDF) and fine sweep + compositing,
+    with no per-point XLA arrays at all — kept experimental because the
+    two-kernel path measured faster on v5e. Ray count must be a
+    multiple of fast.ray_align()."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     model = fast.model
     n = rays_o.shape[0]
     S = settings.N_samples
-    mono_ok = fast.packed_proposal is not None and not exact_union
+    # the mono sampling kernel builds a linear-in-z uniform grid only
+    # (proposal_z_rows) — fall back to the two-kernel path under lindisp
+    mono_ok = (fast.packed_proposal is not None and not exact_union
+               and not settings.lindisp)
     if mono is None:
         # measured on v5e: the two-kernel path wins — XLA's masked-
         # reduction inverse CDF streams at full HBM bandwidth while the
@@ -267,8 +272,7 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
 
     raw16 = nk.fine_raw_t(fast.packed_fine, rays_o, rays_d, z_all, dpt,
                           fast.spec_fine, interpret=interpret)
-    return composite_soa(raw16, z_all, beta_min=cfgf.beta_min,
-                         white_bkgd=settings.white_bkgd)
+    return composite_soa(raw16, z_all, white_bkgd=settings.white_bkgd)
 
 
 # On the CPU backend the kernels run in (slow) interpret mode — only
@@ -291,6 +295,15 @@ def fast_path_supported(model, settings: RenderSettings) -> bool:
         return False
     if model.cfg_fine.out_ch != 3 or settings.N_importance <= 0:
         return False
+    # feature streams narrower than 64 sublanes trigger pathological
+    # (many-minute) Mosaic compiles — tiny debug MLPs keep the XLA path
+    # (interpret mode on CPU has no such pathology; tests keep coverage)
+    if jax.default_backend() != "cpu":
+        widths = [model.cfg_coarse.W, model.cfg_fine.W]
+        if model.cfg_proposal is not None:
+            widths.append(model.cfg_proposal.W)
+        if min(widths) < 64:
+            return False
     if model.embed_xyz.windowed or model.embed_dir.windowed:
         return False  # epoch-dependent frequency window -> XLA path
     if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:

@@ -413,6 +413,7 @@ def render_image_sharded(
     settings: RenderSettings,
     mesh,
     chunk: int = 1024 * 8,
+    use_proposal: bool = True,
 ) -> Dict:
     """SPMD full-image render: the ray axis is sharded over the mesh's
     'data' axis via shard_map — each chip renders its ray slice with
@@ -459,7 +460,8 @@ def render_image_sharded(
 
     def worker(params, ro, rd, hist_b):
         nch = ro.shape[0] // chunk
-        fast = FastNeRFH.pack(params, model) if use_fast else None
+        fast = (FastNeRFH.pack(params, model, use_proposal=use_proposal)
+                if use_fast else None)
 
         def body(args):
             o, d = args

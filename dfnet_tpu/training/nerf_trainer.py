@@ -203,7 +203,8 @@ class NeRFTrainer:
                 # fused kernels when the backend supports them
                 return render_image_sharded(params, model, pose, hist, eh,
                                             ew, ef, self.settings_test, mesh,
-                                            chunk=min(cfg.chunk, eh * ew))
+                                            chunk=min(cfg.chunk, eh * ew),
+                                            use_proposal=cfg.proposal_render)
         else:
             def render_one(params, pose, hist, epoch):
                 ep = epoch if cfg.reduce_embedding == 2 else None
@@ -305,6 +306,10 @@ class NeRFTrainer:
             ref_leaves, treedef = jax.tree.flatten(self.opt_state)
             if len(leaves) == len(ref_leaves):
                 self.opt_state = jax.tree.unflatten(treedef, leaves)
+            else:
+                print("[nerf] checkpoint opt_state shape mismatch "
+                      f"({len(leaves)} vs {len(ref_leaves)} leaves) — "
+                      "optimizer restarts cold")
         self.global_step = int(scalars.get("global_step", 0))
         print(f"[nerf] resumed from {path} at step {self.global_step}")
         return self.global_step
