@@ -271,6 +271,53 @@ def pack_fine_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
     return p
 
 
+def pack_static_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
+                  freq_window=None) -> Dict:
+    """Static (no-transient) full pack for the coarse TRAIN pass: trunk +
+    dir branch + [rgb, sigma] heads riding the fine-kernel structure
+    (spec.fine=False skips the transient chain; the dt stream's upper
+    half is dead). Reference semantics: nerfw.py:220-354 with
+    output_transient=False."""
+    p = pack_trunk_t(params, cfg, emb, freq_window)
+    W = cfg.W
+    half = W // 2
+    f32 = jnp.float32
+    if cfg.out_ch != 3:
+        raise ValueError("fused static kernel supports out_ch=3 only")
+    w_final = jnp.asarray(params["xyz_final"]["w"], f32)
+    b_final = jnp.asarray(params["xyz_final"]["b"], f32)
+    wd_h = jnp.asarray(params["dir"]["w"], f32)[:W]        # (W, half)
+    w_dt = jnp.concatenate([wd_h, jnp.zeros((W, W - half), f32)], -1)
+    p["w_dt"] = (w_final @ w_dt).T.astype(jnp.bfloat16)    # (LANES, W)
+    p["b_dt_fold"] = (b_final @ w_dt)[:, None]             # (LANES, 1) f32
+    w_heads = jnp.zeros((LANES, W), f32)
+    w_heads = w_heads.at[0:3, :half].set(
+        jnp.asarray(params["static_rgb"]["w"], f32).T)
+    p["w_heads"] = w_heads.astype(jnp.bfloat16)
+    w_sig = jnp.zeros((LANES, W), jnp.bfloat16)
+    p["w_sigma_pad"] = w_sig.at[3].set(
+        jnp.asarray(params["static_sigma"]["w"][:, 0], jnp.bfloat16))
+    bias = jnp.zeros((LANES, 1), f32)
+    bias = bias.at[0:3, 0].set(jnp.asarray(params["static_rgb"]["b"], f32))
+    bias = bias.at[3, 0].set(jnp.asarray(params["static_sigma"]["b"], f32)[0])
+    p["b_heads"] = bias
+    return p
+
+
+def per_ray_row_static(params: Dict, cfg: NeRFWConfig, dir_emb, a_emb=None):
+    """(N, LANES) f32 [dp | 0]: per-ray half of the dir matmul for the
+    static pack (bias folded); the transient half is dead."""
+    W = cfg.W
+    wd = params["dir"]["w"]
+    dp = dir_emb @ wd[W:W + cfg.in_dir] + params["dir"]["b"]
+    if cfg.encode_appearance and a_emb is not None:
+        dp = dp + a_emb @ wd[W + cfg.in_dir:]
+    n = dp.shape[0]
+    return jnp.concatenate(
+        [dp, jnp.zeros((n, W - dp.shape[-1]), dp.dtype)],
+        -1).astype(jnp.float32)
+
+
 def per_ray_row(params: Dict, cfg: NeRFWConfig, dir_emb, a_emb, t_emb):
     """(N, LANES) f32 [dp | tp]: per-ray halves of the dir and
     transient-0 matmuls, biases folded (the hf half is the kernel's
@@ -399,16 +446,19 @@ def _coarse_kernel_t(spec: KernelSpec, S: int, near: float, far: float,
 
 def _fine_raw_rows(p, od, z_row, dpt_tile, exp_f32, exp_bf, spec):
     """Shared fine-sweep body: -> (LANES, T) f32 pre-activation raw rows
-    [rgb 0:3, sigma 3, trgb 4:7, tsigma 7, tbeta 8, ...]."""
+    [rgb 0:3, sigma 3, trgb 4:7, tsigma 7, tbeta 8, ...]. With
+    spec.fine=False (static pack, no transient chain) only rows 0:4 are
+    live: [rgb 0:3, sigma 3]."""
     x0 = _pts_to_x0(p, od, z_row, exp_f32, spec)
     h = _trunk_t(p, x0, spec)
     W = p["w_dt"].shape[0]                              # dir|trans stream width
     dpt = _dot(dpt_tile, exp_bf)[:W]                    # (W, T) f32
     dt = jnp.maximum(_dot(p["w_dt"], h) + p["b_dt_fold"] + dpt, 0.0
                      ).astype(jnp.bfloat16)
-    for i in range(3):
-        dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
-                         ).astype(jnp.bfloat16)
+    if spec.fine:
+        for i in range(3):
+            dt = jnp.maximum(_dot(p["w_trans"][i], dt) + p["b_trans"][i], 0.0
+                             ).astype(jnp.bfloat16)
     return _dot(p["w_heads"], dt) + _dot(p["w_sigma_pad"], h) + p["b_heads"]
 
 
@@ -504,6 +554,249 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
 def ray_tile(S: int) -> int:
     """Rays-per-tile granularity callers must pad N to (fine kernel)."""
     return tile_geometry(S)[0]
+
+
+# ---------------------------------------------------------------------------
+# training: backward kernel for the full raw sweep (fine or static pack)
+#
+# Recompute-in-VMEM backward: each tile re-runs the forward (activations
+# never touch HBM — cheaper than stashing ~10 (128,T) tensors per tile),
+# then backprops layer by layer. Weight gradients accumulate in f32
+# VMEM blocks revisited across all grid steps (constant index maps);
+# per-ray dpt gradients stream out per tile. Bias gradients are emitted
+# as ROWS of one (16, LANES) block via ones-matmul row-sums (a (8,T)
+# stationary matmul — a lane-wise reduction would need a sublane
+# transpose). bf16 operands / f32 accumulation everywhere, matching the
+# forward's precision contract.
+# ---------------------------------------------------------------------------
+
+def _mid_idx(i: int, skip: int) -> int:
+    """w_mid stack index of trunk layer i (fwd packs 1..D-1 skipping
+    `skip` in order)."""
+    return i - 1 if (skip < 0 or i < skip) else i - 2
+
+
+def _bwd_kernel_t(spec: KernelSpec, D_mid: int, names, *refs):
+    od_ref, z_ref, dpt_ref, g_ref = refs[0], refs[1], refs[2], refs[3]
+    n_par = len(names)
+    p = {k: r[...] for k, r in zip(names, refs[4:4 + n_par])}
+    exp_f32 = refs[4 + n_par][...]
+    exp_bf = refs[5 + n_par][...]
+    outs = refs[6 + n_par:]
+    if spec.fine:
+        (dw0_ref, dwsx_ref, dwsh_ref, dwmid_ref, dwdt_ref, dwtr_ref,
+         dwhd_ref, dwsg_ref, dbias_ref, gdpt_ref) = outs
+    else:
+        (dw0_ref, dwsx_ref, dwsh_ref, dwmid_ref, dwdt_ref,
+         dwhd_ref, dwsg_ref, dbias_ref, gdpt_ref) = outs
+        dwtr_ref = None
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in outs[:-1]:
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    T = exp_f32.shape[-1]
+    z_row = z_ref[0][0:1]
+    bf = jnp.bfloat16
+
+    # ---- forward recompute, stashing activations in VMEM
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)     # (rows,T) bf16
+    b = p["b_trunk"]
+    hs = [jnp.maximum(_dot(p["w0"], x0) + b[0], 0.0).astype(bf)]
+    mid = 0
+    for i in range(1, spec.D):
+        if i == spec.skip:
+            y = _dot(p["wskip_x"], x0) + _dot(p["wskip_h"], hs[-1]) + b[i]
+        else:
+            y = _dot(p["w_mid"][mid], hs[-1]) + b[i]
+            mid += 1
+        hs.append(jnp.maximum(y, 0.0).astype(bf))
+    h_last = hs[-1]
+    W = p["w_dt"].shape[0]
+    dpt = _dot(dpt_ref[0], exp_bf)[:W]
+    dts = [jnp.maximum(_dot(p["w_dt"], h_last) + p["b_dt_fold"] + dpt,
+                       0.0).astype(bf)]
+    if spec.fine:
+        for i in range(3):
+            dts.append(jnp.maximum(
+                _dot(p["w_trans"][i], dts[-1]) + p["b_trans"][i],
+                0.0).astype(bf))
+
+    # ---- backward
+    ones8 = jnp.ones((8, T), bf)
+
+    def dmm(a, bm):
+        """(rA,T)·(rB,T) -> (rA,rB) f32, contracting lanes (T)."""
+        if jax.default_backend() == "cpu":
+            a, bm = a.astype(jnp.float32), bm.astype(jnp.float32)
+        return jax.lax.dot_general(a, bm, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def tmm(w, g):
+        """(r,c)·(r,T) -> (c,T) f32: W^T @ g without a layout transpose
+        (MXU handles the transposed contraction natively)."""
+        if jax.default_backend() == "cpu":
+            w, g = w.astype(jnp.float32), g.astype(jnp.float32)
+        return jax.lax.dot_general(w, g, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def bias_row(j, g_pre):
+        row = dmm(ones8, g_pre)[0:1]
+        dbias_ref[j:j + 1, 0:row.shape[1]] += row
+
+    g16 = g_ref[...]                                        # (OUT_ROWS,T) f32
+    g_full = jnp.concatenate(
+        [g16, jnp.zeros((LANES - OUT_ROWS, T), jnp.float32)], 0)
+    g16b = g16.astype(bf)
+    dt_last = dts[-1]
+    dwhd_ref[...] += dmm(g16b, dt_last)
+    dwsg_ref[...] += dmm(g16b, h_last)
+    g_fullb = g_full.astype(bf)
+    bias_row(spec.D + 4, g_fullb)                           # b_heads
+    g_dt = tmm(p["w_heads"], g_fullb)                       # (W, T) f32
+    g_h = tmm(p["w_sigma_pad"], g_fullb)                    # (W, T) f32
+
+    if spec.fine:
+        for i in (2, 1, 0):
+            g_pre = jnp.where(dts[i + 1] > 0, g_dt, 0.0).astype(bf)
+            dwtr_ref[i] += dmm(g_pre, dts[i])
+            bias_row(spec.D + 1 + i, g_pre)
+            g_dt = tmm(p["w_trans"][i], g_pre)
+    g_pre0 = jnp.where(dts[0] > 0, g_dt, 0.0).astype(bf)
+    dwdt_ref[...] += dmm(g_pre0, h_last)
+    bias_row(spec.D, g_pre0)                                # b_dt_fold
+    gdpt_ref[0] = dmm(g_pre0, exp_bf)                       # (LANES, LANES)
+    g_h = g_h + tmm(p["w_dt"], g_pre0)
+
+    for i in range(spec.D - 1, 0, -1):
+        g_pre = jnp.where(hs[i] > 0, g_h, 0.0).astype(bf)
+        bias_row(i, g_pre)
+        if i == spec.skip:
+            dwsx_ref[...] += dmm(g_pre, x0)
+            dwsh_ref[...] += dmm(g_pre, hs[i - 1])
+            g_h = tmm(p["wskip_h"], g_pre)
+        else:
+            m = _mid_idx(i, spec.skip)
+            dwmid_ref[m] += dmm(g_pre, hs[i - 1])
+            g_h = tmm(p["w_mid"][m], g_pre)
+    g_pre = jnp.where(hs[0] > 0, g_h, 0.0).astype(bf)
+    bias_row(0, g_pre)
+    dw0_ref[...] += dmm(g_pre, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
+              spec: KernelSpec, interpret: bool = False):
+    """Backward of fine_raw_t w.r.t. the packed weights and dpt.
+
+    g: (OUT_ROWS, N, S) f32 cotangent of the raw output. Returns
+    (d_packed, d_dpt): d_packed has cotangents for every weight-derived
+    entry of the pack (zeros for the constant pe_m/pe_phase rows) and
+    d_dpt is (N, LANES) f32. No cotangents for rays/z (the callers'
+    contract: z is sampled under stop_gradient and rays carry no
+    trainable parameters in stage 1 — see render/fused_train.py)."""
+    N, S = z_all.shape
+    # smaller tiles than the forward: ~13 stashed activations + f32
+    # grad blocks must fit VMEM together
+    R, T = tile_geometry(S, target=1024)
+    if N % R != 0:
+        raise ValueError(f"N={N} not a multiple of bwd ray tile {R}")
+    G = N // R
+    od = od_tiles_of(rays_o, rays_d, R)
+    z_tiles = jnp.zeros((G, 8, T), jnp.float32)
+    z_tiles = z_tiles.at[:, 0, :].set(z_all.astype(jnp.float32).reshape(G, T))
+    dpt_tiles = dpt_tiles_of(dpt, R)
+    g_r = g.reshape(OUT_ROWS, G * T)
+    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    exp_bf = exp_f32.astype(jnp.bfloat16)
+    names, vals = _sorted_items(packed)
+    D_mid = spec.D - (2 if spec.skip > 0 else 1)
+    kern = functools.partial(_bwd_kernel_t, spec, D_mid, names)
+    rows = packed["w0"].shape[1]
+    W = packed["w0"].shape[0]              # trunk width = dt-stream width
+    bcols = max(W, LANES)                  # bias rows span W or LANES
+    f32 = jnp.float32
+    acc = lambda *shape: jax.ShapeDtypeStruct(shape, f32)
+    out_shape = [
+        acc(W, rows),                # d_w0
+        acc(W, rows),                # d_wskip_x
+        acc(W, W),                   # d_wskip_h
+        acc(max(D_mid, 1), W, W),    # d_wmid
+        acc(W, W),                   # d_wdt
+    ]
+    if spec.fine:
+        out_shape.append(acc(3, W, W))  # d_wtrans
+    out_shape += [
+        acc(OUT_ROWS, W),            # d_wheads (rows 0:16)
+        acc(OUT_ROWS, W),            # d_wsigma (rows 0:16)
+        acc(16, bcols),              # d_bias rows
+        acc(G, W, LANES),            # g_dpt per tile (features, ray cols)
+    ]
+    const = lambda r: pl.BlockSpec(r, lambda i: (0,) * len(r),
+                                   memory_space=pltpu.VMEM)
+    out_specs = [
+        const((W, rows)), const((W, rows)), const((W, W)),
+        const((max(D_mid, 1), W, W)), const((W, W)),
+    ]
+    if spec.fine:
+        out_specs.append(const((3, W, W)))
+    out_specs += [
+        const((OUT_ROWS, W)), const((OUT_ROWS, W)), const((16, bcols)),
+        pl.BlockSpec((1, W, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((OUT_ROWS, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 2),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(od, z_tiles, dpt_tiles, g_r, *vals, exp_f32, exp_bf)
+
+    if spec.fine:
+        (dw0, dwsx, dwsh, dwmid, dwdt, dwtr, dwhd, dwsg, dbias, gdpt) = outs
+    else:
+        (dw0, dwsx, dwsh, dwmid, dwdt, dwhd, dwsg, dbias, gdpt) = outs
+        dwtr = None
+
+    d_packed = {k: jnp.zeros_like(v) for k, v in packed.items()}
+    d_packed["w0"] = dw0.astype(packed["w0"].dtype)
+    if "wskip_x" in packed:
+        d_packed["wskip_x"] = dwsx.astype(packed["wskip_x"].dtype)
+        d_packed["wskip_h"] = dwsh.astype(packed["wskip_h"].dtype)
+    if "w_mid" in packed:
+        d_packed["w_mid"] = dwmid[:packed["w_mid"].shape[0]].astype(
+            packed["w_mid"].dtype)
+    d_packed["w_dt"] = dwdt.astype(packed["w_dt"].dtype)
+    if spec.fine:
+        d_packed["w_trans"] = dwtr.astype(packed["w_trans"].dtype)
+    pad_rows = jnp.zeros((LANES - OUT_ROWS, W), f32)
+    d_packed["w_heads"] = jnp.concatenate([dwhd, pad_rows], 0).astype(
+        packed["w_heads"].dtype)
+    d_packed["w_sigma_pad"] = jnp.concatenate([dwsg, pad_rows], 0).astype(
+        packed["w_sigma_pad"].dtype)
+    D = spec.D
+    d_packed["b_trunk"] = dbias[:D, :W, None]
+    d_packed["b_dt_fold"] = dbias[D, :W, None]
+    if spec.fine:
+        d_packed["b_trans"] = dbias[D + 1:D + 4, :W, None]
+    d_packed["b_heads"] = dbias[D + 4, :LANES, None]
+
+    # per-tile (features, ray-cols) -> (N, W) per-ray rows
+    g_dpt = jnp.transpose(gdpt, (0, 2, 1))[:, :R].reshape(N, W)
+    return d_packed, g_dpt
 
 
 def coarse_ray_tile(S: int) -> int:

@@ -85,11 +85,13 @@ class FastNeRFH:
             spec_proposal=spec_p,
         )
 
-    def ray_align(self, settings: RenderSettings) -> int:
+    def ray_align(self, settings: RenderSettings,
+                  n_fine: Optional[int] = None) -> int:
         """Ray-count alignment all kernels need (pad to a multiple)."""
         import math
         rc = nk.coarse_ray_tile(settings.N_samples)
-        rf = nk.ray_tile(settings.N_samples + settings.N_importance)
+        rf = nk.ray_tile(n_fine or (settings.N_samples
+                                    + settings.N_importance))
         rs = nk.tile_geometry(settings.N_samples, target=2048)[0]
         a = rc * rf // math.gcd(rc, rf)
         return a * rs // math.gcd(a, rs)
@@ -128,6 +130,77 @@ def sample_pdf_blend(bins, weights, n_total: int, lam: float):
     cdf_b = jnp.where(cdf_b <= neg / 2, cdf[..., :1], cdf_b)
     bins_b = jnp.where(bins_b <= neg / 2, bins[..., :1], bins_b)
     cdf_a = jnp.where(cdf_a >= pos / 2, cdf[..., -1:], cdf_a)
+    bins_a = jnp.where(bins_a >= pos / 2, bins[..., -1:], bins_a)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return jax.lax.stop_gradient(bins_b + t * (bins_a - bins_b))
+
+
+def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float):
+    """Empty-space-culled blended-CDF sampling.
+
+    TPU-native static-shape equivalent of occupancy-grid empty-space
+    culling + transmittance-based early ray termination (the reference
+    has neither; its fine pass always covers [near, far] —
+    rendering.py:296-302): per ray, restrict BOTH mixture components to
+    the informative interval [z_lo, z_hi] — the [q, 1-q] quantile range
+    of the proposal-weights CDF, padded by one bin — then draw n_total
+    SORTED samples from (1-lam)*pdf(restricted weights) + lam*uniform
+    (z_lo, z_hi) in one inverse-CDF pass. z < z_lo is leading empty
+    space (< q of the mass); z > z_hi is space the ray only reaches
+    with transmittance ~< q (terminated). Total truncated mass <= 2q,
+    so the composite rgb error is bounded by ~2q. Same gather-free
+    masked-reduction scheme as sample_pdf.
+
+    bins: (N, M) sorted sample locations; weights: (N, M-1) proposal
+    weights between them. Keeping n_total below N_samples+N_importance
+    is what converts culling into throughput: unchanged local sample
+    density over a ~2-3x shorter informative interval."""
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (N, M)
+
+    # [q, 1-q] quantiles of the weights CDF (masked-reduction inverse)
+    uq = jnp.asarray([q, 1.0 - q], jnp.float32)
+    uq = jnp.broadcast_to(uq, cdf.shape[:-1] + (2,))
+    le = cdf[..., None, :] <= uq[..., :, None]            # (N, 2, M)
+    neg, pos = jnp.float32(-1e10), jnp.float32(1e10)
+    cdf_e, bins_e = cdf[..., None, :], bins[..., None, :]
+    cdf_b = jnp.max(jnp.where(le, cdf_e, neg), -1)
+    bins_b = jnp.max(jnp.where(le, bins_e, neg), -1)
+    cdf_a = jnp.min(jnp.where(le, pos, cdf_e), -1)
+    bins_a = jnp.min(jnp.where(le, pos, bins_e), -1)
+    cdf_a = jnp.where(cdf_a >= pos / 2, cdf[..., -1:], cdf_a)
+    bins_a = jnp.where(bins_a >= pos / 2, bins[..., -1:], bins_a)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    zq = bins_b + (uq - cdf_b) / denom * (bins_a - bins_b)  # (N, 2)
+
+    pad = (bins[..., -1:] - bins[..., :1]) / (bins.shape[-1] - 1)
+    z_lo = jnp.maximum(zq[..., 0:1] - pad, bins[..., :1])   # (N, 1)
+    z_hi = jnp.minimum(zq[..., 1:2] + pad, bins[..., -1:])
+    z_hi = jnp.maximum(z_hi, z_lo + 1e-4)
+
+    # restricted mixture CDF over the same bin edges
+    inside = (bins[..., 1:] >= z_lo) & (bins[..., :-1] <= z_hi)  # (N, M-1)
+    wm = jnp.where(inside, weights, 0.0)
+    pdf_m = wm / jnp.maximum(jnp.sum(wm, -1, keepdims=True), 1e-10)
+    cdf_w = jnp.cumsum(pdf_m, -1)
+    cdf_w = jnp.concatenate([jnp.zeros_like(cdf_w[..., :1]), cdf_w], -1)
+    cdf_u = jnp.clip((bins - z_lo) / (z_hi - z_lo), 0.0, 1.0)
+    cdf_mix = (1.0 - lam) * cdf_w + lam * cdf_u
+
+    u = jnp.linspace(0.0, 1.0, n_total)
+    u = jnp.broadcast_to(u, cdf_mix.shape[:-1] + (n_total,))
+    le = cdf_mix[..., None, :] <= u[..., :, None]
+    cdf_e = cdf_mix[..., None, :]
+    cdf_b = jnp.max(jnp.where(le, cdf_e, neg), -1)
+    bins_b = jnp.max(jnp.where(le, bins_e, neg), -1)
+    cdf_a = jnp.min(jnp.where(le, pos, cdf_e), -1)
+    bins_a = jnp.min(jnp.where(le, pos, bins_e), -1)
+    cdf_b = jnp.where(cdf_b <= neg / 2, cdf_mix[..., :1], cdf_b)
+    bins_b = jnp.where(bins_b <= neg / 2, bins[..., :1], bins_b)
+    cdf_a = jnp.where(cdf_a >= pos / 2, cdf_mix[..., -1:], cdf_a)
     bins_a = jnp.where(bins_a >= pos / 2, bins[..., -1:], bins_a)
     denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
     t = (u - cdf_b) / denom
@@ -185,6 +258,8 @@ def _per_ray_conditioning(fast: FastNeRFH, rays_d, hist):
 def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
                      settings: RenderSettings, exact_union: bool = True,
                      mono: Optional[bool] = None,
+                     cull_q: float = 0.0, n_fine: Optional[int] = None,
+                     fuse_composite: bool = False,
                      interpret: Optional[bool] = None) -> Dict:
     """Test-time render of a ray batch through the fused kernels.
 
@@ -197,7 +272,14 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     -> weights -> blended inverse CDF) and fine sweep + compositing,
     with no per-point XLA arrays at all — kept experimental because the
     two-kernel path measured faster on v5e. Ray count must be a
-    multiple of fast.ray_align()."""
+    multiple of fast.ray_align().
+
+    cull_q > 0 selects the CULLED sampler (sample_pdf_culled — empty-
+    space culling + early termination as per-ray interval restriction),
+    usually with n_fine < N_samples+N_importance; PSNR-vs-speed points
+    are tabulated in QUALITY.md. fuse_composite runs the fine sweep and
+    the full NeRF-W composite as ONE kernel (fine_composite_t) instead
+    of fine kernel + XLA SoA composite."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     model = fast.model
@@ -255,12 +337,16 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     weights = alphas * _shifted_cumprod_lanes(alphas)
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    if exact_union:
+    n_total = n_fine or (S + settings.N_importance)
+    if cull_q > 0.0:
+        z_all = sample_pdf_culled(z_mid, weights[..., 1:-1], n_total,
+                                  lam=S / (S + settings.N_importance),
+                                  q=cull_q)
+    elif exact_union:
         z_samples = sample_pdf(z_mid, weights[..., 1:-1],
                                settings.N_importance, None, det=True)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
     else:
-        n_total = S + settings.N_importance
         z_all = sample_pdf_blend(z_mid, weights[..., 1:-1], n_total,
                                  lam=S / n_total)
 
@@ -269,6 +355,21 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     a_emb = lookup_hist_embedding(fast.params["embedding_a"], hist)
     t_emb = lookup_hist_embedding(fast.params["embedding_t"], hist)
     dpt = nk.per_ray_row(fast.params["fine"], cfgf, dir_emb, a_emb, t_emb)
+
+    if fuse_composite:
+        S_f = z_all.shape[-1]
+        z_rows = jnp.zeros((8, n * S_f), jnp.float32)
+        z_rows = z_rows.at[0].set(z_all.reshape(-1))
+        out = nk.fine_composite_t(fast.packed_fine, rays_o, rays_d, z_rows,
+                                  dpt, fast.spec_fine, interpret=interpret)
+        rgb = jnp.transpose(out[0:3])
+        acc = out[3]
+        depth = out[4]
+        if settings.white_bkgd:
+            rgb = rgb + (1.0 - acc)[:, None]
+        disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+        return {"rgb": rgb, "disp": disp, "acc": acc, "depth": depth,
+                "rgb_static_only": jnp.transpose(out[5:8])}
 
     raw16 = nk.fine_raw_t(fast.packed_fine, rays_o, rays_d, z_all, dpt,
                           fast.spec_fine, interpret=interpret)
@@ -320,6 +421,8 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
                       H: int, W: int, focal: float,
                       settings: RenderSettings, chunk: int = 1024 * 8,
                       exact_union: bool = True, use_proposal: bool = True,
+                      cull_q: float = 0.0, n_fine: Optional[int] = None,
+                      fuse_composite: bool = False,
                       interpret: Optional[bool] = None) -> Dict:
     """Full-image render through the fused kernels (test-time drop-in
     for volume.render_image: same output dict keys rgb/disp/acc).
@@ -328,7 +431,7 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
     from dfnet_tpu.render.rays import get_rays
 
     fast = FastNeRFH.pack(params, model, use_proposal=use_proposal)
-    align = fast.ray_align(settings)
+    align = fast.ray_align(settings, n_fine)
     chunk = max(chunk // align, 1) * align
     rays_o, rays_d = get_rays(H, W, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
@@ -343,7 +446,9 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
     def body(args):
         ro, rd = args
         r = render_rays_fast(fast, ro, rd, hist_b, settings,
-                             exact_union=exact_union, interpret=interpret)
+                             exact_union=exact_union, cull_q=cull_q,
+                             n_fine=n_fine, fuse_composite=fuse_composite,
+                             interpret=interpret)
         return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
 
     res = jax.lax.map(body, (rays_o.reshape(n_chunks, chunk, 3),
