@@ -130,6 +130,9 @@ class Config:
     precision: str = "fp32"             # fp32 | bf16 — MLP matmul precision
     fine_importance_only: bool = False  # fast profile: fine MLP on importance samples only
     fast_render: bool = True            # fused Pallas kernels for test-time renders (no-grad paths)
+    fused_train: bool = True            # custom-VJP Pallas kernels for the stage-1 train step
+    render_cull_q: float = 0.0          # >0: culled fast-path sampling (empty-space + termination)
+    render_fine_total: int = 0          # culled mode: fine samples/ray (0 = N_samples+N_importance)
     proposal: bool = True               # train a tiny proposal sampler alongside NeRF-H stage 1
     proposal_D: int = 2                 # proposal MLP depth
     proposal_W: int = 64                # proposal MLP width

@@ -159,10 +159,17 @@ def train_ray_align(settings: RenderSettings) -> int:
     return a
 
 
+# On the CPU backend the kernels would run in (slow) interpret mode —
+# production call sites keep the XLA step there; parity tests flip this.
+ALLOW_INTERPRET_TRAIN = False
+
+
 def fused_train_supported(model, settings: RenderSettings,
                           n_rand: int) -> bool:
     """Whether the fused train path can serve this configuration (same
     envelope as the fast render path + ray-batch divisibility)."""
+    if jax.default_backend() == "cpu" and not ALLOW_INTERPRET_TRAIN:
+        return False
     if not isinstance(model, NeRFHModel):
         return False
     if model.cfg_fine.out_ch != 3 or settings.N_importance <= 0:

@@ -96,6 +96,15 @@ class NeRFTrainer:
         model_has_proposal = (getattr(model, "cfg_proposal", None) is not None
                               and "proposal" in self.params)
 
+        # fused Pallas train step (custom-VJP kernels): single-device
+        # only — under a mesh the GSPMD partitioner can't split
+        # pallas_call, so sharded runs keep the XLA step
+        use_fused_train = False
+        if cfg.fused_train and mesh is None and cfg.reduce_embedding != 2:
+            from dfnet_tpu.render.fused_train import fused_train_supported
+
+            use_fused_train = fused_train_supported(model, settings, n_rand)
+
         def loss_fn(params, rays_o, rays_d, target, hist, rng, epoch):
             # epoch only matters for the DNeRF windowed embedding
             # (reduce_embedding==2); None otherwise to avoid tracing it
@@ -103,6 +112,12 @@ class NeRFTrainer:
             if isinstance(model, VanillaNeRFModel):
                 out = render_rays_vanilla(params, model, rays_o, rays_d,
                                           settings, rng, epoch=ep)
+            elif use_fused_train:
+                from dfnet_tpu.render.fused_train import \
+                    render_rays_train_fused
+
+                out = render_rays_train_fused(params, model, rays_o, rays_d,
+                                              hist, settings, rng)
             else:
                 out = render_rays(params, model, rays_o, rays_d, hist,
                                   settings, rng, epoch=ep)
@@ -194,7 +209,9 @@ class NeRFTrainer:
                 return render_image_fast(params, model, pose, hist, eh, ew,
                                          ef, self.settings_test,
                                          chunk=min(cfg.chunk, eh * ew),
-                                         use_proposal=cfg.proposal_render)
+                                         use_proposal=cfg.proposal_render,
+                                         cull_q=cfg.render_cull_q,
+                                         n_fine=cfg.render_fine_total or None)
         elif mesh is not None and cfg.reduce_embedding != 2:
             from dfnet_tpu.render.volume import render_image_sharded
 

@@ -48,7 +48,15 @@ def _loss(render_fn, params, *args):
 
 def test_supported(setup):
     cfg, model, params, settings, ro, rd, hist, target = setup
-    assert fused_train_supported(model, settings, ro.shape[0])
+    import dfnet_tpu.render.fused_train as ft
+    old = ft.ALLOW_INTERPRET_TRAIN
+    ft.ALLOW_INTERPRET_TRAIN = True
+    try:
+        assert fused_train_supported(model, settings, ro.shape[0])
+        # misaligned ray batches must fall back
+        assert not fused_train_supported(model, settings, ro.shape[0] + 1)
+    finally:
+        ft.ALLOW_INTERPRET_TRAIN = old
 
 
 def test_forward_parity(setup):
