@@ -107,6 +107,10 @@ class Config:
     poselossonly: bool = False
     tripletloss: bool = False
     triplet_margin: float = 1.0
+    # triplet pairwise-distance reduction axis: None = auto (reference's
+    # W axis for .pt-ported models, C otherwise); True forces the
+    # reference-exact axis, False forces C (see training/feature_losses)
+    triplet_ref_axis: Optional[bool] = None
     random_view_synthesis: bool = False
     rvs_refresh_rate: int = 2
     rvs_trans: float = 5.0

@@ -10,10 +10,14 @@ Functional parity:
     cases, computed without gradient)
 
 Feature layout here is (L, B, H, W, C) (NHWC), vs the reference's
-(L, B, C, H, W). The triplet distance reduces over the LAST axis
-(torch.nn.TripletMarginLoss/pairwise_distance semantics), which maps to
-C here — per-pixel feature distance, a slightly more natural metric on
-this layout; margins are comparable in scale.
+(L, B, C, H, W). torch.nn.TripletMarginLoss reduces the pairwise
+distance over the LAST axis, which on the reference layout is the image
+W axis; on NHWC the default here reduces over C instead — a per-pixel
+feature distance (slightly more natural on this layout, comparable
+margins). For numerical parity with the reference — e.g. when
+fine-tuning a ported released checkpoint — pass axis=-2 (our W axis,
+the reference's reduction axis); the stage-2 trainer selects it via
+--triplet_ref_axis (auto-on for .pt-ported models).
 """
 
 from __future__ import annotations
@@ -58,25 +62,28 @@ def masked_loss(criterion, f1, f2, valid_mask):
     return jnp.sum(loss * valid_mask) / jnp.sum(valid_mask)
 
 
-def _pairwise_distance(x, y, eps: float = 1e-6):
+def _pairwise_distance(x, y, axis: int = -1, eps: float = 1e-6):
     """torch.nn.functional.pairwise_distance: L2 norm of (x-y+eps) over
-    the last axis."""
-    return jnp.sqrt(jnp.sum((x - y + eps) ** 2, axis=-1))
+    one axis (torch reduces the last; see module docstring for the
+    layout mapping)."""
+    return jnp.sqrt(jnp.sum((x - y + eps) ** 2, axis=axis))
 
 
-def _triplet_margin(anchor, positive, negative, margin: float):
-    d_ap = _pairwise_distance(anchor, positive)
-    d_an = _pairwise_distance(anchor, negative)
+def _triplet_margin(anchor, positive, negative, margin: float,
+                    axis: int = -1):
+    d_ap = _pairwise_distance(anchor, positive, axis)
+    d_an = _pairwise_distance(anchor, negative, axis)
     return jnp.mean(jax.nn.relu(d_ap - d_an + margin))
 
 
-def triplet_loss(f1, f2, margin: float = 1.0):
+def triplet_loss(f1, f2, margin: float = 1.0, axis: int = -1):
     """anchor=f1 (real), positive=f2 (render), negative=f2 rolled by one
     along the batch axis (axis=1 of (L,B,...))."""
-    return _triplet_margin(f1, f2, jnp.roll(f2, 1, axis=1), margin)
+    return _triplet_margin(f1, f2, jnp.roll(f2, 1, axis=1), margin, axis)
 
 
-def triplet_loss_hard_negative_mining(f1, f2, margin: float = 1.0):
+def triplet_loss_hard_negative_mining(f1, f2, margin: float = 1.0,
+                                      axis: int = -1):
     anchor, positive = f1, f2
     anchor_neg = jnp.roll(f1, 1, axis=1)
     negative = jnp.roll(f2, 1, axis=1)
@@ -84,11 +91,12 @@ def triplet_loss_hard_negative_mining(f1, f2, margin: float = 1.0):
     case2 = jax.lax.stop_gradient(feature_mse(positive, anchor_neg))
     return jnp.where(
         case1 < case2,
-        _triplet_margin(anchor, positive, negative, margin),
-        _triplet_margin(positive, anchor, anchor_neg, margin))
+        _triplet_margin(anchor, positive, negative, margin, axis),
+        _triplet_margin(positive, anchor, anchor_neg, margin, axis))
 
 
-def triplet_loss_hard_negative_mining_plus(f1, f2, margin: float = 1.0):
+def triplet_loss_hard_negative_mining_plus(f1, f2, margin: float = 1.0,
+                                           axis: int = -1):
     """Four-case anchor swap (misc.py:399-435): pick the arrangement
     whose (no-grad) pairwise MSE is smallest."""
     anchor, positive = f1, f2
@@ -102,9 +110,9 @@ def triplet_loss_hard_negative_mining_plus(f1, f2, margin: float = 1.0):
     ])
     which = jnp.argmin(cases)
     branches = [
-        lambda _: _triplet_margin(anchor, positive, negative, margin),
-        lambda _: _triplet_margin(positive, anchor, anchor_neg, margin),
-        lambda _: _triplet_margin(anchor, positive, anchor_neg, margin),
-        lambda _: _triplet_margin(positive, anchor, negative, margin),
+        lambda _: _triplet_margin(anchor, positive, negative, margin, axis),
+        lambda _: _triplet_margin(positive, anchor, anchor_neg, margin, axis),
+        lambda _: _triplet_margin(anchor, positive, anchor_neg, margin, axis),
+        lambda _: _triplet_margin(positive, anchor, negative, margin, axis),
     ]
     return jax.lax.switch(which, branches, None)

@@ -94,6 +94,14 @@ class FeatureTrainer:
         train_bn = not cfg.freezeBN
         w = cfg.combine_loss_w
         use_triplet = cfg.tripletloss
+        # reference-exact triplet axis (the reference reduces the
+        # pairwise distance over its last = image-W axis): auto-on when
+        # fine-tuning a .pt-ported released checkpoint, else per-pixel C
+        triplet_ref = cfg.triplet_ref_axis
+        if triplet_ref is None:
+            triplet_ref = bool(cfg.pretrain_model_path
+                               and cfg.pretrain_model_path.endswith(".pt"))
+        triplet_axis = -2 if triplet_ref else -1
         use_rvs = cfg.random_view_synthesis
         optimizer = self.optimizer
         shard = None
@@ -118,7 +126,7 @@ class FeatureTrainer:
             loss_pose = pose_loss(predict, pose_gt)
             if use_triplet:
                 loss_f = triplet_loss_hard_negative_mining_plus(
-                    f_r, f_t, margin=cfg.triplet_margin)
+                    f_r, f_t, margin=cfg.triplet_margin, axis=triplet_axis)
             else:
                 loss_f = feature_mse(f_r, f_t)
             return loss_pose, loss_f, new_state

@@ -59,6 +59,30 @@ def test_triplet_losses_separate_batches():
         assert 0.0 <= val < 1.0, fn.__name__
 
 
+def test_triplet_ref_axis_matches_torch():
+    """Reference-exact axis (--triplet_ref_axis): our triplet over NHWC
+    features with axis=-2 must equal torch.nn.TripletMarginLoss over the
+    reference's (L,B,C,H,W) layout (misc.py:355-435 uses the default
+    last-axis reduction = W)."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    nhwc = rng.normal(size=(2, 4, 6, 5, 8)).astype(np.float32)  # (L,B,H,W,C)
+    nhwc2 = rng.normal(size=nhwc.shape).astype(np.float32)
+    # reference layout (L,B,C,H,W)
+    a_t = torch.tensor(nhwc.transpose(0, 1, 4, 2, 3))
+    p_t = torch.tensor(nhwc2.transpose(0, 1, 4, 2, 3))
+    n_t = torch.roll(p_t, 1, dims=1)
+    ref = torch.nn.TripletMarginLoss(margin=1.0)(a_t, p_t, n_t)
+    ours = triplet_loss(jnp.asarray(nhwc), jnp.asarray(nhwc2), margin=1.0,
+                        axis=-2)
+    assert float(ours) == pytest.approx(float(ref), abs=2e-5)
+    # and the hard-negative-mining-plus wrapper threads the axis through
+    ours_plus = triplet_loss_hard_negative_mining_plus(
+        jnp.asarray(nhwc), jnp.asarray(nhwc2), margin=1.0, axis=-2)
+    assert np.isfinite(float(ours_plus))
+
+
 def test_cosine_feature_loss_bounds():
     rng = np.random.default_rng(1)
     a = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
