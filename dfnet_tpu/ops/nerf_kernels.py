@@ -659,18 +659,21 @@ def _bwd_kernel_t(spec: KernelSpec, D_mid: int, names, *refs):
 
     if spec.fine:
         for i in (2, 1, 0):
-            g_pre = jnp.where(dts[i + 1] > 0, g_dt, 0.0).astype(bf)
+            g_pre = jnp.where(dts[i + 1].astype(jnp.float32) > 0.0,
+                              g_dt, 0.0).astype(bf)
             dwtr_ref[i] += dmm(g_pre, dts[i])
             bias_row(spec.D + 1 + i, g_pre)
             g_dt = tmm(p["w_trans"][i], g_pre)
-    g_pre0 = jnp.where(dts[0] > 0, g_dt, 0.0).astype(bf)
+    # masks compare in f32: Mosaic on v5e rejects bf16 predicates
+    g_pre0 = jnp.where(dts[0].astype(jnp.float32) > 0.0, g_dt, 0.0).astype(bf)
     dwdt_ref[...] += dmm(g_pre0, h_last)
     bias_row(spec.D, g_pre0)                                # b_dt_fold
     gdpt_ref[0] = dmm(g_pre0, exp_bf)                       # (LANES, LANES)
     g_h = g_h + tmm(p["w_dt"], g_pre0)
 
     for i in range(spec.D - 1, 0, -1):
-        g_pre = jnp.where(hs[i] > 0, g_h, 0.0).astype(bf)
+        g_pre = jnp.where(hs[i].astype(jnp.float32) > 0.0,
+                          g_h, 0.0).astype(bf)
         bias_row(i, g_pre)
         if i == spec.skip:
             dwsx_ref[...] += dmm(g_pre, x0)
@@ -680,7 +683,7 @@ def _bwd_kernel_t(spec: KernelSpec, D_mid: int, names, *refs):
             m = _mid_idx(i, spec.skip)
             dwmid_ref[m] += dmm(g_pre, hs[i - 1])
             g_h = tmm(p["w_mid"][m], g_pre)
-    g_pre = jnp.where(hs[0] > 0, g_h, 0.0).astype(bf)
+    g_pre = jnp.where(hs[0].astype(jnp.float32) > 0.0, g_h, 0.0).astype(bf)
     bias_row(0, g_pre)
     dw0_ref[...] += dmm(g_pre, x0)
 

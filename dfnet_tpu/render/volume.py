@@ -414,6 +414,9 @@ def render_image_sharded(
     mesh,
     chunk: int = 1024 * 8,
     use_proposal: bool = True,
+    cull_q: float = 0.0,
+    n_fine: int = 0,
+    fuse_composite: bool = False,
 ) -> Dict:
     """SPMD full-image render: the ray axis is sharded over the mesh's
     'data' axis via shard_map — each chip renders its ray slice with
@@ -437,9 +440,10 @@ def render_image_sharded(
             from dfnet_tpu.ops import nerf_kernels as nk
 
             use_fast = True
+            s_fine = n_fine or (settings.N_samples + settings.N_importance)
             align = 1
             for r in (nk.coarse_ray_tile(settings.N_samples),
-                      nk.ray_tile(settings.N_samples + settings.N_importance),
+                      nk.ray_tile(s_fine),
                       nk.tile_geometry(settings.N_samples, target=2048)[0]):
                 align = align * r // math.gcd(align, r)
             chunk = max(chunk // align, 1) * align
@@ -466,7 +470,9 @@ def render_image_sharded(
         def body(args):
             o, d = args
             if fast is not None:
-                r = render_rays_fast(fast, o, d, hist_b, settings)
+                r = render_rays_fast(fast, o, d, hist_b, settings,
+                                     cull_q=cull_q, n_fine=n_fine or None,
+                                     fuse_composite=fuse_composite)
             else:
                 r = render_rays(params, model, o, d, hist_b, settings)
             return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}

@@ -221,7 +221,10 @@ class NeRFTrainer:
                 return render_image_sharded(params, model, pose, hist, eh,
                                             ew, ef, self.settings_test, mesh,
                                             chunk=min(cfg.chunk, eh * ew),
-                                            use_proposal=cfg.proposal_render)
+                                            use_proposal=cfg.proposal_render,
+                                            cull_q=cfg.render_cull_q,
+                                            n_fine=cfg.render_fine_total,
+                                            fuse_composite=False)
         else:
             def render_one(params, pose, hist, epoch):
                 ep = epoch if cfg.reduce_embedding == 2 else None
