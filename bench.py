@@ -43,6 +43,7 @@ CKPT = osp.join(osp.dirname(osp.abspath(__file__)),
                 "assets", "nerfh_synthetic_301.npz")
 CULL_Q = 2e-3
 N_FINE = 32
+N_PLACE = 32
 
 
 def main():
@@ -78,15 +79,20 @@ def main():
 
     render_kw = {}
     if not use_xla and not exact:
-        render_kw = dict(cull_q=CULL_Q, n_fine=N_FINE, fuse_composite=True)
+        render_kw = dict(cull_q=CULL_Q, n_fine=N_FINE,
+                         n_place=N_PLACE, fuse_composite=True)
 
     n, chunk = N_RAYS_PER_CALL, CHUNK
     if fast is not None:
-        align = fast.ray_align(settings, render_kw.get("n_fine"))
+        align = fast.ray_align(settings, render_kw.get("n_fine"),
+                               render_kw.get("n_place"))
         chunk = max(chunk // align, 1) * align
         n = (n // chunk) * chunk
     n_chunks = n // chunk
-    hist = jnp.zeros((chunk, cfg.hist_bin), jnp.int32)
+    # (1, HB) uniform-hist row on the fast path (gather-once); per-ray
+    # rows for the XLA path
+    hist = jnp.zeros((1 if fast is not None else chunk, cfg.hist_bin),
+                     jnp.int32)
 
     @jax.jit
     def render_checksum(params, rays_o, rays_d, jitter):
@@ -165,7 +171,7 @@ def main():
         "trained_ckpt": trained,
         "render_path": ("xla" if use_xla else
                         "fast_exact" if exact else
-                        f"fast_cull_nf{N_FINE}_q{CULL_Q}_fused"),
+                        f"fast_cull_nf{N_FINE}_p{N_PLACE}_q{CULL_Q}_fused"),
     }))
 
 

@@ -329,6 +329,10 @@ def per_ray_row(params: Dict, cfg: NeRFWConfig, dir_emb, a_emb, t_emb):
         dp = dp + a_emb @ wd[W + cfg.in_dir:]
     wt = params["trans_0"]["w"]
     tp = t_emb @ wt[W:] + params["trans_0"]["b"]
+    # a/t embeddings may be (1, ·) (uniform hist, gather-once) while the
+    # dir half is per-ray — broadcast before the concat
+    dp = jnp.broadcast_to(dp, (max(dp.shape[0], tp.shape[0]), dp.shape[1]))
+    tp = jnp.broadcast_to(tp, (dp.shape[0], tp.shape[1]))
     return jnp.concatenate([dp, tp], -1).astype(jnp.float32)
 
 
@@ -521,7 +525,7 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
     (OUT_ROWS, N, S) f32 PRE-activation channel-major raw output
     [rgb, sigma, trgb, tsigma, tbeta] in rows 0:9."""
     N, S = z_all.shape
-    R, T = tile_geometry(S)
+    R, T = tile_geometry(S, target=fine_tile_target(S))
     G = N // R
     od = od_tiles_of(rays_o, rays_d, R)
     z_tiles = jnp.zeros((G, 8, T), jnp.float32)
@@ -551,9 +555,18 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
     return out.reshape(OUT_ROWS, N, S)
 
 
+def fine_tile_target(S: int) -> int:
+    """Fine-sweep point-tile size: 2048 keeps the S_f=128 workload under
+    the VMEM scoped limit; short culled schedules (S_f <= 48) fit 4096,
+    halving the per-grid-step scaffolding (od expand, PE, sine, weight
+    loads) — the dominant overhead once the matmul work per point
+    shrinks."""
+    return 4096 if S <= 48 else 2048
+
+
 def ray_tile(S: int) -> int:
     """Rays-per-tile granularity callers must pad N to (fine kernel)."""
-    return tile_geometry(S)[0]
+    return tile_geometry(S, target=fine_tile_target(S))[0]
 
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1124,7 @@ def fine_composite_t(packed: Dict, rays_o, rays_d, z_rows, dpt,
     P = z_rows.shape[-1]
     N = rays_o.shape[0]
     S = P // N
-    R, T = tile_geometry(S)
+    R, T = tile_geometry(S, target=fine_tile_target(S))
     G = N // R
     od = od_tiles_of(rays_o, rays_d, R)
     dpt_tiles = dpt_tiles_of(dpt, R)

@@ -86,13 +86,15 @@ class FastNeRFH:
         )
 
     def ray_align(self, settings: RenderSettings,
-                  n_fine: Optional[int] = None) -> int:
+                  n_fine: Optional[int] = None,
+                  n_place: Optional[int] = None) -> int:
         """Ray-count alignment all kernels need (pad to a multiple)."""
         import math
-        rc = nk.coarse_ray_tile(settings.N_samples)
+        sp = n_place or settings.N_samples
+        rc = nk.coarse_ray_tile(sp)
         rf = nk.ray_tile(n_fine or (settings.N_samples
                                     + settings.N_importance))
-        rs = nk.tile_geometry(settings.N_samples, target=2048)[0]
+        rs = nk.tile_geometry(sp, target=2048)[0]
         a = rc * rf // math.gcd(rc, rf)
         return a * rs // math.gcd(a, rs)
 
@@ -247,6 +249,10 @@ def composite_soa(raw16, z_all, white_bkgd: bool = False) -> Dict:
 
 
 def _per_ray_conditioning(fast: FastNeRFH, rays_d, hist):
+    """(N, W) per-ray conditioning rows. hist may be (1, HB) for a
+    whole-image render — the embedding GATHER (slow on TPU) then runs
+    once and broadcasts, instead of gathering N identical rows
+    (measured 0.9 ms/16K-ray chunk for the gathered form)."""
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dir_emb = fast.model.embed_dir(viewdirs)
     a_emb = lookup_hist_embedding(fast.params["embedding_a"], hist)
@@ -259,6 +265,7 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
                      settings: RenderSettings, exact_union: bool = True,
                      mono: Optional[bool] = None,
                      cull_q: float = 0.0, n_fine: Optional[int] = None,
+                     n_place: Optional[int] = None,
                      fuse_composite: bool = False,
                      interpret: Optional[bool] = None) -> Dict:
     """Test-time render of a ray batch through the fused kernels.
@@ -284,7 +291,10 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
         interpret = jax.default_backend() == "cpu"
     model = fast.model
     n = rays_o.shape[0]
-    S = settings.N_samples
+    # n_place: sample count of the PLACEMENT sweep (proposal sigma grid
+    # + CDF bins); decoupled from N_samples when culling (the tiny
+    # proposal resolves the informative interval at 48 as well as 64)
+    S = n_place or settings.N_samples
     # the mono sampling kernel builds a linear-in-z uniform grid only
     # (proposal_z_rows) — fall back to the two-kernel path under lindisp
     mono_ok = (fast.packed_proposal is not None and not exact_union
@@ -337,11 +347,12 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     weights = alphas * _shifted_cumprod_lanes(alphas)
 
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    n_total = n_fine or (S + settings.N_importance)
+    n_total = n_fine or (settings.N_samples + settings.N_importance)
     if cull_q > 0.0:
+        lam = settings.N_samples / (settings.N_samples
+                                    + settings.N_importance)
         z_all = sample_pdf_culled(z_mid, weights[..., 1:-1], n_total,
-                                  lam=S / (S + settings.N_importance),
-                                  q=cull_q)
+                                  lam=lam, q=cull_q)
     elif exact_union:
         z_samples = sample_pdf(z_mid, weights[..., 1:-1],
                                settings.N_importance, None, det=True)
@@ -422,6 +433,7 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
                       settings: RenderSettings, chunk: int = 1024 * 8,
                       exact_union: bool = True, use_proposal: bool = True,
                       cull_q: float = 0.0, n_fine: Optional[int] = None,
+                      n_place: Optional[int] = None,
                       fuse_composite: bool = False,
                       interpret: Optional[bool] = None) -> Dict:
     """Full-image render through the fused kernels (test-time drop-in
@@ -431,7 +443,7 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
     from dfnet_tpu.render.rays import get_rays
 
     fast = FastNeRFH.pack(params, model, use_proposal=use_proposal)
-    align = fast.ray_align(settings, n_fine)
+    align = fast.ray_align(settings, n_fine, n_place)
     chunk = max(chunk // align, 1) * align
     rays_o, rays_d = get_rays(H, W, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
@@ -441,13 +453,14 @@ def render_image_fast(params: Dict, model: NeRFHModel, c2w, hist,
     rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], 0)
     rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
     n_chunks = (n + n_pad) // chunk
-    hist_b = jnp.broadcast_to(hist[None], (chunk,) + hist.shape)
+    hist_b = hist[None]            # (1, HB): uniform-hist gather-once path
 
     def body(args):
         ro, rd = args
         r = render_rays_fast(fast, ro, rd, hist_b, settings,
                              exact_union=exact_union, cull_q=cull_q,
-                             n_fine=n_fine, fuse_composite=fuse_composite,
+                             n_fine=n_fine, n_place=n_place,
+                             fuse_composite=fuse_composite,
                              interpret=interpret)
         return {"rgb": r["rgb"], "disp": r["disp"], "acc": r["acc"]}
 

@@ -152,7 +152,7 @@ def train_ray_align(settings: RenderSettings) -> int:
     if settings.fine_importance_only:
         S_all = settings.N_importance
     a = 1
-    for r in (nk.tile_geometry(S)[0], nk.tile_geometry(S_all)[0],
+    for r in (nk.ray_tile(S), nk.ray_tile(S_all),
               nk.tile_geometry(S, target=1024)[0],
               nk.tile_geometry(S_all, target=1024)[0]):
         a = a * r // math.gcd(a, r)

@@ -416,6 +416,7 @@ def render_image_sharded(
     use_proposal: bool = True,
     cull_q: float = 0.0,
     n_fine: int = 0,
+    n_place: int = 0,
     fuse_composite: bool = False,
 ) -> Dict:
     """SPMD full-image render: the ray axis is sharded over the mesh's
@@ -441,10 +442,11 @@ def render_image_sharded(
 
             use_fast = True
             s_fine = n_fine or (settings.N_samples + settings.N_importance)
+            s_place = n_place or settings.N_samples
             align = 1
-            for r in (nk.coarse_ray_tile(settings.N_samples),
+            for r in (nk.coarse_ray_tile(s_place),
                       nk.ray_tile(s_fine),
-                      nk.tile_geometry(settings.N_samples, target=2048)[0]):
+                      nk.tile_geometry(s_place, target=2048)[0]):
                 align = align * r // math.gcd(align, r)
             chunk = max(chunk // align, 1) * align
     except ValueError:
@@ -460,7 +462,10 @@ def render_image_sharded(
     n_pad = per_dev * n_dev - n
     rays_o = jnp.concatenate([rays_o, jnp.zeros((n_pad, 3), rays_o.dtype)], 0)
     rays_d = jnp.concatenate([rays_d, jnp.ones((n_pad, 3), rays_d.dtype)], 0)
-    hist_b = jnp.broadcast_to(hist[None], (chunk,) + hist.shape)
+    # fast path: (1, HB) uniform-hist row (gather-once); XLA path wants
+    # per-ray rows
+    hist_b = (hist[None] if use_fast else
+              jnp.broadcast_to(hist[None], (chunk,) + hist.shape))
 
     def worker(params, ro, rd, hist_b):
         nch = ro.shape[0] // chunk
@@ -472,6 +477,7 @@ def render_image_sharded(
             if fast is not None:
                 r = render_rays_fast(fast, o, d, hist_b, settings,
                                      cull_q=cull_q, n_fine=n_fine or None,
+                                     n_place=n_place or None,
                                      fuse_composite=fuse_composite)
             else:
                 r = render_rays(params, model, o, d, hist_b, settings)

@@ -211,7 +211,9 @@ class NeRFTrainer:
                                          chunk=min(cfg.chunk, eh * ew),
                                          use_proposal=cfg.proposal_render,
                                          cull_q=cfg.render_cull_q,
-                                         n_fine=cfg.render_fine_total or None)
+                                         n_fine=cfg.render_fine_total or None,
+                                         n_place=cfg.render_place_samples
+                                         or None)
         elif mesh is not None and cfg.reduce_embedding != 2:
             from dfnet_tpu.render.volume import render_image_sharded
 
@@ -224,6 +226,7 @@ class NeRFTrainer:
                                             use_proposal=cfg.proposal_render,
                                             cull_q=cfg.render_cull_q,
                                             n_fine=cfg.render_fine_total,
+                                            n_place=cfg.render_place_samples,
                                             fuse_composite=False)
         else:
             def render_one(params, pose, hist, epoch):
