@@ -6,9 +6,9 @@ Model/workload matches the reference's measured configuration
 render, histogram-conditioned appearance/transient embeddings. The
 render path is the production default: fused transposed Pallas kernels
 with proposal placement and CDF-quantile empty-space culling /
-early-ray-termination (32 fine samples concentrated in the per-ray
+early-ray-termination (24 fine samples concentrated in the per-ray
 informative interval) + in-kernel compositing — validated at parity
-with the reference schedule (within 0.01 dB on the 301-epoch synthetic
+with the reference schedule (within 0.04 dB on the 301-epoch synthetic
 run; QUALITY.md round-3 table).
 
 The model is the TRAINED 301-epoch synthetic checkpoint
@@ -42,7 +42,7 @@ CHUNK = 1 << 14
 CKPT = osp.join(osp.dirname(osp.abspath(__file__)),
                 "assets", "nerfh_synthetic_301.npz")
 CULL_Q = 2e-3
-N_FINE = 32
+N_FINE = 24
 N_PLACE = 32
 
 
