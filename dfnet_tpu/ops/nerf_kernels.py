@@ -182,8 +182,13 @@ def pack_trunk_t(params: Dict, cfg: NeRFWConfig, emb: Embedder,
         scale = jnp.asarray(scale)
     skip = cfg.skips[0] if cfg.skips and cfg.skips[0] < cfg.D else -1
     M, phase = pe_matrices(emb)
+    M_hi = M.astype(np.float32).astype(jnp.bfloat16)
+    M_lo = (M - np.asarray(M_hi, np.float32)).astype(jnp.bfloat16)
+    pe_m16 = jnp.concatenate(
+        [M_hi, M_hi, M_lo, jnp.zeros((M.shape[0], 7), jnp.bfloat16)], 1)
     p = {
         "pe_m": jnp.asarray(M),                       # (rows, 3) f32
+        "pe_m16": pe_m16,                  # (rows, 16) bf16 [Mhi Mhi Mlo 0]
         "pe_phase": jnp.asarray(phase),               # (rows, 1) f32
         "w0": _expand_cols(_wT(params, "xyz_0"), perm, scale),
         "b_trunk": jnp.stack([_b_col(params, f"xyz_{i}") for i in range(cfg.D)]),
@@ -360,15 +365,23 @@ def _expand_matrix_t(R: int, S: int) -> np.ndarray:
 
 
 def od_tiles_of(rays_o, rays_d, R: int) -> jnp.ndarray:
-    """(N,3)+(N,3) -> (G, 8, LANES) f32: per tile, rows 0:3 = o^T,
-    rows 3:6 = d^T for that tile's R rays (lanes R: zero)."""
+    """(N,3)+(N,3) -> (G, 16, LANES) bf16 hi/lo split: rows 0:3 = o^T,
+    rows 3:6 = d^T (bf16 high parts), rows 8:14 the f32 residuals in
+    bf16. The in-kernel ray->point expansion is then ONE bf16 matmul
+    with f32 accumulation instead of an f32xf32 matmul — same ~1e-5
+    relative o/d precision (hi+lo), 4x the MXU rate, and it avoids the
+    f32-matmul Mosaic path whose compiles take minutes instead of
+    seconds (measured: 146 s -> 3.6 s on the placement sweep)."""
     n = rays_o.shape[0]
     G = n // R
     od = jnp.concatenate([rays_o, rays_d], -1).astype(jnp.float32)  # (N, 6)
     od = od.reshape(G, R, 6)
     od = jnp.transpose(od, (0, 2, 1))                                # (G, 6, R)
-    tiles = jnp.zeros((G, 8, LANES), jnp.float32)
-    return tiles.at[:, :6, :R].set(od)
+    hi = od.astype(jnp.bfloat16)
+    lo = (od - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tiles = jnp.zeros((G, 16, LANES), jnp.bfloat16)
+    tiles = tiles.at[:, 0:6, :R].set(hi)
+    return tiles.at[:, 8:14, :R].set(lo)
 
 
 def dpt_tiles_of(dpt: jnp.ndarray, R: int) -> jnp.ndarray:
@@ -394,24 +407,49 @@ def _dot(w, h):
                                preferred_element_type=jnp.float32)
 
 
-def _pts_to_x0(p, od, z_row, exp_f32, spec: "KernelSpec"):
-    """(8,LANES) od tile + (1,T) z row -> (LANES,T) bf16 PE features.
+def _pts_to_x0(p, od, z_row, exp_bf, spec: "KernelSpec"):
+    """(16,LANES) hi/lo od tile + (1,T) z row -> (LANES,T) bf16 PE
+    features.
 
-    The PE-argument map xs = M @ pts is K=3 and must stay f32 (high PE
-    frequencies need ~1e-4 argument precision). In a big kernel the f32
-    matmul overlaps with surrounding VPU work; in the tiny sigma-only
-    kernels it dominates, so there it runs as three (LANES,1)x(1,T)
-    broadcast MACs instead (spec.pe_mac)."""
-    od6 = _dot(od[:6].astype(jnp.float32), exp_f32)     # (6, T) f32
-    pts_t = od6[0:3] + od6[3:6] * z_row                 # (3, T)
+    Both matmuls here carry values that need ~1e-4 argument precision
+    (high PE frequencies), beyond bf16 — but instead of f32xf32
+    matmuls (4x the MXU cost AND a Mosaic path whose compiles take
+    minutes) they run as single bf16 matmuls over hi/lo-split operands
+    with f32 accumulation: x = hi + lo reconstructs the f32 input to
+    ~2^-17 relative. The PE-argument map xs = M @ pts is K=3; in the
+    tiny sigma-only kernels even that is better as three
+    (LANES,1)x(1,T) broadcast MACs on the f32 pts (spec.pe_mac)."""
+    od16 = _dot(od, exp_bf)                             # (16, T) f32
+    od6 = od16[0:6] + od16[8:14]                        # hi + lo
+    pts_t = od6[0:3] + od6[3:6] * z_row                 # (3, T) f32
+    rows = p["pe_m"].shape[0]
     if spec.pe_mac:
-        m = p["pe_m"]
+        # Small-F specs (the proposal, F=4: 27 live rows of 64) compute
+        # the MACs + sine polynomial only on the live sublane block and
+        # zero-pad for the w0 matmul (dead w0 columns are zero anyway) —
+        # the jnp.where below evaluates _fast_sin on every row it sees,
+        # which at F=4 would be ~60% wasted VPU work.
+        live = min(rows, -(-(6 * spec.F + 3) // 16) * 16)  # bf16 sublanes
+        m = p["pe_m"][:live]
         xs = (m[:, 0:1] * pts_t[0:1] + m[:, 1:2] * pts_t[1:2]
-              + m[:, 2:3] * pts_t[2:3] + p["pe_phase"])  # (LANES, T) f32
+              + m[:, 2:3] * pts_t[2:3] + p["pe_phase"][:live])  # (live, T)
     else:
-        xs = _dot(p["pe_m"], pts_t) + p["pe_phase"]
+        live = rows
+        # xs = M @ pts via one bf16 matmul over stacked hi/lo operands:
+        # (Mhi+Mlo)(hi+lo) ~= Mhi@hi + Mhi@lo + Mlo@hi (the dropped
+        # Mlo@lo term is ~2^-34 relative). pe_m16 columns: [Mhi, Mhi,
+        # Mlo, 0-pad]; point rows: [hi, lo, hi, 0-pad].
+        hi = pts_t.astype(jnp.bfloat16)
+        lo = (pts_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        pts16 = jnp.concatenate(
+            [hi, lo, hi, jnp.zeros((7,) + pts_t.shape[1:], jnp.bfloat16)], 0)
+        xs = _dot(p["pe_m16"], pts16) + p["pe_phase"]
     row = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 0)
-    return jnp.where(row < 6 * spec.F, _fast_sin(xs), xs).astype(jnp.bfloat16)
+    x0 = jnp.where(row < 6 * spec.F, _fast_sin(xs), xs).astype(jnp.bfloat16)
+    if live < rows:
+        x0 = jnp.concatenate(
+            [x0, jnp.zeros((rows - live,) + x0.shape[1:], jnp.bfloat16)], 0)
+    return x0
 
 
 def _trunk_t(p, x0, spec: KernelSpec):
@@ -432,7 +470,7 @@ def _coarse_kernel_t(spec: KernelSpec, S: int, near: float, far: float,
                      lindisp: bool, names, *refs):
     od_ref, out_ref = refs[0], refs[-1]
     p = {k: r[...] for k, r in zip(names, refs[1:-2])}
-    exp_f32 = refs[-2][...]
+    exp_bf = refs[-2][...]
     T = out_ref.shape[-1]
     # uniform z for lane p: s = p % S (reference stratified_z_vals,
     # perturb=0): z = near*(1-t) + far*t, t = s/(S-1)
@@ -443,17 +481,17 @@ def _coarse_kernel_t(spec: KernelSpec, S: int, near: float, far: float,
         z_row = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
     else:
         z_row = near * (1.0 - t) + far * t
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_bf, spec)
     h = _trunk_t(p, x0, spec)
     out_ref[...] = (_dot(p["w_sigma8"], h) + p["b_sigma8"]).astype(jnp.float32)
 
 
-def _fine_raw_rows(p, od, z_row, dpt_tile, exp_f32, exp_bf, spec):
+def _fine_raw_rows(p, od, z_row, dpt_tile, exp_bf, spec):
     """Shared fine-sweep body: -> (LANES, T) f32 pre-activation raw rows
     [rgb 0:3, sigma 3, trgb 4:7, tsigma 7, tbeta 8, ...]. With
     spec.fine=False (static pack, no transient chain) only rows 0:4 are
     live: [rgb 0:3, sigma 3]."""
-    x0 = _pts_to_x0(p, od, z_row, exp_f32, spec)
+    x0 = _pts_to_x0(p, od, z_row, exp_bf, spec)
     h = _trunk_t(p, x0, spec)
     W = p["w_dt"].shape[0]                              # dir|trans stream width
     dpt = _dot(dpt_tile, exp_bf)[:W]                    # (W, T) f32
@@ -468,11 +506,10 @@ def _fine_raw_rows(p, od, z_row, dpt_tile, exp_f32, exp_bf, spec):
 
 def _fine_kernel_t(spec: KernelSpec, names, *refs):
     od_ref, z_ref, dpt_ref, out_ref = refs[0], refs[1], refs[2], refs[-1]
-    p = {k: r[...] for k, r in zip(names, refs[3:-3])}
-    exp_f32 = refs[-3][...]
+    p = {k: r[...] for k, r in zip(names, refs[3:-2])}
     exp_bf = refs[-2][...]
     z_row = z_ref[0][0:1]                               # (1, T) f32
-    out = _fine_raw_rows(p, od_ref[0], z_row, dpt_ref[0], exp_f32, exp_bf, spec)
+    out = _fine_raw_rows(p, od_ref[0], z_row, dpt_ref[0], exp_bf, spec)
     out_ref[...] = out[:OUT_ROWS].astype(jnp.float32)
 
 
@@ -499,21 +536,21 @@ def coarse_sigma_t(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
         R, T = tile_geometry(S)
     G = N // R
     od = od_tiles_of(rays_o, rays_d, R)
-    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    exp_bf = jnp.asarray(_expand_matrix_t(R, S)).astype(jnp.bfloat16)
     names, vals = _sorted_items(packed)
     kern = functools.partial(_coarse_kernel_t, spec, S, float(near),
                              float(far), lindisp, names)
     out = pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 1),
         out_specs=pl.BlockSpec((8, T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, N * S), jnp.float32),
         interpret=interpret,
-    )(od, *vals, exp_f32)
+    )(od, *vals, exp_bf)
     return out[0].reshape(N, S)
 
 
@@ -531,27 +568,26 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
     z_tiles = jnp.zeros((G, 8, T), jnp.float32)
     z_tiles = z_tiles.at[:, 0, :].set(z_all.astype(jnp.float32).reshape(G, T))
     dpt_tiles = dpt_tiles_of(dpt, R)
-    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
-    exp_bf = exp_f32.astype(jnp.bfloat16)
+    exp_bf = jnp.asarray(_expand_matrix_t(R, S)).astype(jnp.bfloat16)
     names, vals = _sorted_items(packed)
     kern = functools.partial(_fine_kernel_t, spec, names)
     out = pl.pallas_call(
         kern,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 2),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 1),
         out_specs=pl.BlockSpec((OUT_ROWS, T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((OUT_ROWS, N * S), jnp.float32),
         interpret=interpret,
-    )(od, z_tiles, dpt_tiles, *vals, exp_f32, exp_bf)
+    )(od, z_tiles, dpt_tiles, *vals, exp_bf)
     return out.reshape(OUT_ROWS, N, S)
 
 
@@ -593,9 +629,8 @@ def _bwd_kernel_t(spec: KernelSpec, D_mid: int, names, *refs):
     od_ref, z_ref, dpt_ref, g_ref = refs[0], refs[1], refs[2], refs[3]
     n_par = len(names)
     p = {k: r[...] for k, r in zip(names, refs[4:4 + n_par])}
-    exp_f32 = refs[4 + n_par][...]
-    exp_bf = refs[5 + n_par][...]
-    outs = refs[6 + n_par:]
+    exp_bf = refs[4 + n_par][...]
+    outs = refs[5 + n_par:]
     if spec.fine:
         (dw0_ref, dwsx_ref, dwsh_ref, dwmid_ref, dwdt_ref, dwtr_ref,
          dwhd_ref, dwsg_ref, dbias_ref, gdpt_ref) = outs
@@ -609,12 +644,12 @@ def _bwd_kernel_t(spec: KernelSpec, D_mid: int, names, *refs):
         for r in outs[:-1]:
             r[...] = jnp.zeros(r.shape, r.dtype)
 
-    T = exp_f32.shape[-1]
+    T = exp_bf.shape[-1]
     z_row = z_ref[0][0:1]
     bf = jnp.bfloat16
 
     # ---- forward recompute, stashing activations in VMEM
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)     # (rows,T) bf16
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_bf, spec)      # (rows,T) bf16
     b = p["b_trunk"]
     hs = [jnp.maximum(_dot(p["w0"], x0) + b[0], 0.0).astype(bf)]
     mid = 0
@@ -724,8 +759,7 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
     z_tiles = z_tiles.at[:, 0, :].set(z_all.astype(jnp.float32).reshape(G, T))
     dpt_tiles = dpt_tiles_of(dpt, R)
     g_r = g.reshape(OUT_ROWS, G * T)
-    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
-    exp_bf = exp_f32.astype(jnp.bfloat16)
+    exp_bf = jnp.asarray(_expand_matrix_t(R, S)).astype(jnp.bfloat16)
     names, vals = _sorted_items(packed)
     D_mid = spec.D - (2 if spec.skip > 0 else 1)
     kern = functools.partial(_bwd_kernel_t, spec, D_mid, names)
@@ -766,7 +800,7 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
         kern,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -775,11 +809,11 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
             pl.BlockSpec((OUT_ROWS, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 2),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 1),
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(od, z_tiles, dpt_tiles, g_r, *vals, exp_f32, exp_bf)
+    )(od, z_tiles, dpt_tiles, g_r, *vals, exp_bf)
 
     if spec.fine:
         (dw0, dwsx, dwsh, dwmid, dwdt, dwtr, dwhd, dwsg, dbias, gdpt) = outs
@@ -963,28 +997,29 @@ def _weights_from_sigma(sigma, S: int, near: float, far: float):
 
 def _sample_kernel_t(spec: KernelSpec, S: int, S_f: int, near: float,
                      far: float, lam: float, names, *refs):
-    """refs: od_tile, *params, exp_f32 (LANES,T), e_sel (S,T),
-    exp_out (LANES,T_out) f32, sel_f (S_f,T_out) f32, consts (8,S),
+    """refs: od_tile (16,LANES) bf16 hi/lo, *params, exp_bf (LANES,T)
+    bf16, e_sel (S,T), exp_out (LANES,T_out) f32, sel_f (S_f,T_out) f32,
     out (8, T_out)."""
     od_ref, out_ref = refs[0], refs[-1]
     p = {k: r[...] for k, r in zip(names, refs[1:-5])}
-    exp_f32 = refs[-5][...]
+    exp_bf = refs[-5][...]
     e_sel = refs[-4][...]
     exp_out = refs[-3][...]
     sel_f = refs[-2][...]
-    T = exp_f32.shape[-1]
+    T = exp_bf.shape[-1]
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % S
     t = pos.astype(jnp.float32) * np.float32(1.0 / (S - 1))
     z_row = np.float32(near) * (1.0 - t) + np.float32(far) * t
-    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_f32, spec)
+    x0 = _pts_to_x0(p, od_ref[0], z_row, exp_bf, spec)
     h = _trunk_t(p, x0, spec)
     sig_pre = (_dot(p["w_sigma8"], h) + p["b_sigma8"])[0:1]
     sigma = _k_softplus(sig_pre)
     w = _weights_from_sigma(sigma, S, near, far)          # (1, T)
 
-    # per-ray transpose: (S rows, LANES ray cols); ray cols >= R are 0
-    spread = w * exp_f32                                   # (LANES, T)
+    # per-ray transpose: (S rows, LANES ray cols); ray cols >= R are 0.
+    # exp is a 0/1 selector, exact in bf16; the spread stays f32.
+    spread = w * exp_bf.astype(jnp.float32)                # (LANES, T)
     w_sr = jax.lax.dot_general(e_sel, spread, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     mass = w_sr[1:S - 1] + np.float32(1e-5)                # (S-2, LANES)
@@ -1047,7 +1082,7 @@ def proposal_z_rows(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
     G = N // R
     T_out = R * S_f
     od = od_tiles_of(rays_o, rays_d, R)
-    exp_f32 = jnp.asarray(_expand_matrix_t(R, S))
+    exp_bf = jnp.asarray(_expand_matrix_t(R, S)).astype(jnp.bfloat16)
     e_sel = jnp.asarray(_sel_matrix(S, T))
     exp_out = jnp.asarray(_expand_matrix_t(R, S_f))
     sel_f = jnp.asarray(_sel_matrix(S_f, T_out))
@@ -1057,14 +1092,14 @@ def proposal_z_rows(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 4),
         out_specs=pl.BlockSpec((8, T_out), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, N * S_f), jnp.float32),
         interpret=interpret,
-    )(od, *vals, exp_f32, e_sel, exp_out, sel_f)
+    )(od, *vals, exp_bf, e_sel, exp_out, sel_f)
 
 
 # Output rows of the compositing fine kernel: per-ray
@@ -1074,13 +1109,15 @@ COMP_ROWS = 8
 
 def _fine_composite_kernel_t(spec: KernelSpec, S: int, names, *refs):
     """Fine sweep + full NeRF-W test-time compositing in VMEM.
-    refs: od, z_rows (8,T), dpt, *params, exp_f32, exp_bf, out (8,LANES)."""
+    refs: od (16,LANES) bf16 hi/lo, z_rows (8,T), dpt, *params,
+    exp_f32 (f32, for the per-ray contrib reduction), exp_bf,
+    out (8,LANES)."""
     od_ref, z_ref, dpt_ref, out_ref = refs[0], refs[1], refs[2], refs[-1]
     p = {k: r[...] for k, r in zip(names, refs[3:-3])}
     exp_f32 = refs[-3][...]
     exp_bf = refs[-2][...]
     z_row = z_ref[0:1, :]                               # (1, T) f32
-    raw = _fine_raw_rows(p, od_ref[0], z_row, dpt_ref[0], exp_f32, exp_bf, spec)
+    raw = _fine_raw_rows(p, od_ref[0], z_row, dpt_ref[0], exp_bf, spec)
 
     # activations + composite (volume.composite_nerfw, test_time=True)
     srgb = _k_sigmoid(raw[0:3])
@@ -1136,7 +1173,7 @@ def fine_composite_t(packed: Dict, rays_o, rays_d, z_rows, dpt,
         kern,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
