@@ -132,6 +132,9 @@ class Config:
 
     # ---- TPU-native additions (not in the reference) ----
     precision: str = "fp32"             # fp32 | bf16 — MLP matmul precision
+    feature_precision: str = "bf16"     # fp32 | bf16 — DFNet conv-stack compute
+                                        # dtype (stages 2/3); master weights, BN
+                                        # stats and losses stay f32 either way
     fine_importance_only: bool = False  # fast profile: fine MLP on importance samples only
     fast_render: bool = True            # fused Pallas kernels for test-time renders (no-grad paths)
     fused_train: bool = True            # custom-VJP Pallas kernels for the stage-1 train step

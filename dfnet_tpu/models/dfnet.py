@@ -83,7 +83,13 @@ def init_dfnet_params(key, cfg: DFNetConfig = DFNetConfig()) -> Tuple[Dict, Dict
 
 
 def _batchnorm(p, s, x, train: bool):
-    """(B,H,W,C) BatchNorm2d. Returns (y, new_running)."""
+    """(B,H,W,C) BatchNorm2d. Returns (y, new_running).
+
+    Statistics and the affine transform always run in f32 — with the
+    bf16 compute path the per-channel mean/var of ~1e5 activations
+    would otherwise lose all mantissa (running stats are the model
+    state torch checkpoints round-trip through)."""
+    x = x.astype(jnp.float32)
     if train:
         mean = jnp.mean(x, axis=(0, 1, 2))
         var = jnp.var(x, axis=(0, 1, 2))
@@ -101,6 +107,10 @@ def _batchnorm(p, s, x, train: bool):
 
 
 def _adapt_level(p, s, f, train_bn: bool):
+    if f.dtype != jnp.float32:
+        p = {**p,
+             "conv1": jax.tree.map(lambda a: a.astype(f.dtype), p["conv1"]),
+             "conv2": jax.tree.map(lambda a: a.astype(f.dtype), p["conv2"])}
     h = jax.nn.relu(conv2d(p["conv1"], f))
     h = conv2d(p["conv2"], h)
     return _batchnorm(p, s, h, train_bn)
@@ -117,15 +127,27 @@ def dfnet_forward(
     upsample_h: int = 240,
     upsample_w: int = 427,
     train_bn: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Returns (feature_maps, pose, new_state).
 
     feature_maps: None, or (single,) with single (L,B,H,W,C), or
     (target_stack, render_stack) for siamese input [targets; renders].
     pose: (B, feat_dim) or None when return_pose=False.
+
+    compute_dtype=bfloat16 runs the conv stacks (VGG encoder + adapt
+    branches) on the MXU's bf16 path with f32 accumulation — master
+    params stay f32 (the cast's VJP returns f32 grads), BatchNorm
+    statistics / global pooling / pose head / losses stay f32. This is
+    the TPU mixed-precision regime the stage-1 NeRF kernels already
+    use (cfg.feature_precision wires it into stages 2/3).
     """
     x = imagenet_normalize(x)
-    final, taps = vgg16_features(params["encoder"], x, cfg.hypercolumn_layers,
+    enc = params["encoder"]
+    if compute_dtype != jnp.float32:
+        x = x.astype(compute_dtype)
+        enc = jax.tree.map(lambda a: a.astype(compute_dtype), enc)
+    final, taps = vgg16_features(enc, x, cfg.hypercolumn_layers,
                                  run_to_end=return_pose)
 
     feature_maps = None
@@ -152,6 +174,6 @@ def dfnet_forward(
     if not return_pose:
         return feature_maps, None, new_state
 
-    pooled = jnp.mean(final, axis=(1, 2))                          # (B, 512)
+    pooled = jnp.mean(final.astype(jnp.float32), axis=(1, 2))      # (B, 512)
     pose = pooled @ params["fc_pose"]["w"] + params["fc_pose"]["b"]
     return feature_maps, pose, new_state

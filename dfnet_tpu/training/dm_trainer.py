@@ -57,6 +57,8 @@ class DMTrainer:
         self.scene = scene
         self.nerf = nerf
         self.model_cfg = DFNetConfig.small() if cfg.DFNet_s else DFNetConfig()
+        self._cdt = (jnp.bfloat16 if cfg.feature_precision == "bf16"
+                     else jnp.float32)
 
         # pose model F (trainable) and feature model G (frozen)
         self.params, self.state = load_dfnet_params(
@@ -88,7 +90,7 @@ class DMTrainer:
             """F forward → (3,4) pose with optional SVD projection."""
             _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
                                          return_feature=False,
-                                         upsample_h=H, upsample_w=W)
+                                         upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
             pose = pose12.reshape(1, 3, 4)
             if cfg.svd_reg:
                 pose = project_rotation_svd(pose)
@@ -101,7 +103,7 @@ class DMTrainer:
             feats, _, _ = dfnet_forward(
                 feat_params, self.feat_state, x, mcfg, return_feature=True,
                 is_single_stream=False, return_pose=False,
-                upsample_h=H, upsample_w=W)
+                upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
             f_t = select_levels_for_loss(feats[0], levels)
             f_r = select_levels_for_loss(feats[1], levels)
             feat_l = cosine_feature_loss(f_r[0], f_t[0],
@@ -158,7 +160,7 @@ class DMTrainer:
         def predict12(params, images):
             _, pose12, _ = dfnet_forward(params, self.state, images, mcfg,
                                          return_feature=False,
-                                         upsample_h=H, upsample_w=W)
+                                         upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
             return pose12
 
         self._predict12 = jax.jit(predict12)
@@ -183,7 +185,7 @@ class DMTrainer:
         def predict_pose(params, image):
             _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
                                          return_feature=False,
-                                         upsample_h=H, upsample_w=W)
+                                         upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
             pose = pose12.reshape(1, 3, 4)
             if cfg.svd_reg:
                 pose = project_rotation_svd(pose)
@@ -246,7 +248,7 @@ class DMTrainer:
         def loss_fn(params, image, pose_gt12, hist, rng):
             _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
                                          return_feature=False,
-                                         upsample_h=H, upsample_w=W)
+                                         upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
             pose = pose12.reshape(1, 3, 4)
             if cfg.svd_reg:
                 pose = project_rotation_svd(pose)
@@ -266,7 +268,7 @@ class DMTrainer:
             feats, _, _ = dfnet_forward(
                 self.feat_params, self.feat_state, image[None], mcfg,
                 return_feature=True, is_single_stream=True, return_pose=False,
-                upsample_h=H, upsample_w=W)
+                upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
             f0 = feats[0][0, 0].reshape(H * W, -1)[sel].T   # (C, N)
             photo_l = img2mse(rgb, target)
             feat_l = cosine_feature_loss(feat_render, f0,

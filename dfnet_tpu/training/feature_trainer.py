@@ -103,6 +103,7 @@ class FeatureTrainer:
                                and cfg.pretrain_model_path.endswith(".pt"))
         triplet_axis = -2 if triplet_ref else -1
         use_rvs = cfg.random_view_synthesis
+        cdt = jnp.bfloat16 if cfg.feature_precision == "bf16" else jnp.float32
         optimizer = self.optimizer
         shard = None
         if self.mesh is not None:
@@ -120,7 +121,7 @@ class FeatureTrainer:
             feats, predict, new_state = dfnet_forward(
                 params, state, x, mcfg, return_feature=True,
                 is_single_stream=False, upsample_h=H, upsample_w=W,
-                train_bn=train_bn)
+                train_bn=train_bn, compute_dtype=cdt)
             f_t, f_r = feats
             pose_gt = jnp.concatenate([poses12, poses12], 0)
             loss_pose = pose_loss(predict, pose_gt)
@@ -138,7 +139,8 @@ class FeatureTrainer:
             if use_rvs:
                 _, virtue_pose, _ = dfnet_forward(
                     params, new_state, rgb_perturb, mcfg, return_feature=False,
-                    upsample_h=H, upsample_w=W, train_bn=False)
+                    upsample_h=H, upsample_w=W, train_bn=False,
+                    compute_dtype=cdt)
                 loss_rvs = pose_loss(virtue_pose, pose_perturb12)
                 loss = w[0] * loss_pose + w[1] * loss_f + w[2] * loss_rvs
             elif cfg.poselossonly:
@@ -168,7 +170,8 @@ class FeatureTrainer:
         def predict(params, state, images):
             _, pose, _ = dfnet_forward(params, state, images, mcfg,
                                        return_feature=False,
-                                       upsample_h=H, upsample_w=W, train_bn=False)
+                                       upsample_h=H, upsample_w=W, train_bn=False,
+                                       compute_dtype=cdt)
             return pose
 
         self._predict = jax.jit(predict)
