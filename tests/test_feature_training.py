@@ -246,3 +246,37 @@ def test_prefetch_epoch_matches_sync(tmp_path):
     assert loss_pre == pytest.approx(loss_sync, rel=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
                  p_sync, p_pre)
+
+
+def test_poselossonly_trains_pose_branch_only(tmp_path):
+    """Legacy train_posenet parity (reference dm/pose_model.py:326-391):
+    pose-only training is a plain MSE-on-pose loop — the feature
+    (adapt) branch must receive zero gradient and stay untouched, and
+    the pose loss must fall."""
+    cfg = feature_cfg(tmp_path, ["--poselossonly"])
+    trainer = FeatureTrainer(cfg, SCENE, nerf=None)
+    adapt_before = jax.tree.map(np.asarray, trainer.params["adapt"])
+    rng = np.random.default_rng(0)
+    targets = SCENE.train.images
+    l0 = trainer.train_epoch(targets, targets, None, None, rng)
+    for _ in range(3):
+        l1 = trainer.train_epoch(targets, targets, None, None, rng)
+    assert np.isfinite([l0, l1]).all()
+    assert l1 < l0
+    # adam with exactly-zero grads produces exactly-zero updates
+    jax.tree.map(np.testing.assert_array_equal,
+                 adapt_before, jax.tree.map(np.asarray, trainer.params["adapt"]))
+
+
+def test_featurelossonly_leaves_pose_head_alone(tmp_path):
+    """--featurelossonly is the dual: only the feature branch trains;
+    the pose head (fc_pose) must be untouched."""
+    cfg = feature_cfg(tmp_path, ["--featurelossonly"])
+    trainer = FeatureTrainer(cfg, SCENE, nerf=None)
+    fc_before = np.asarray(trainer.params["fc_pose"]["w"])
+    rng = np.random.default_rng(0)
+    targets = SCENE.train.images
+    loss = trainer.train_epoch(targets, targets + 0.05, None, None, rng)
+    assert np.isfinite(loss)
+    np.testing.assert_array_equal(fc_before,
+                                  np.asarray(trainer.params["fc_pose"]["w"]))
