@@ -192,7 +192,11 @@ def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float):
     cdf_u = jnp.clip((bins - z_lo) / (z_hi - z_lo), 0.0, 1.0)
     cdf_mix = (1.0 - lam) * cdf_w + lam * cdf_u
 
-    u = jnp.linspace(0.0, 1.0, n_total)
+    # cdf_mix is flat at exactly 1.0 for every bin past z_hi, so the
+    # endpoint u=1.0 would tie-break to the FAR PLANE bin (max over the
+    # tie), wasting one of n_total samples per ray outside the culled
+    # interval; nudging u below 1 makes it land just inside z_hi
+    u = jnp.linspace(0.0, 1.0, n_total) * (1.0 - 1e-6)
     u = jnp.broadcast_to(u, cdf_mix.shape[:-1] + (n_total,))
     le = cdf_mix[..., None, :] <= u[..., :, None]
     cdf_e = cdf_mix[..., None, :]
