@@ -86,18 +86,23 @@ class DMTrainer:
         nerf = self.nerf
         optimizer = self.optimizer
 
-        def predict_pose(params, image):
-            """F forward → (3,4) pose with optional SVD projection."""
+        def predict_pose(params, image, dtype=None):
+            """F forward → (3,4) pose with optional SVD projection.
+
+            dtype: conv-stack compute dtype. Train steps pass the
+            configured feature_precision; EVAL paths keep the f32
+            default so ported-checkpoint pose metrics are exact."""
             _, pose12, _ = dfnet_forward(params, self.state, image[None], mcfg,
                                          return_feature=False,
-                                         upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
+                                         upsample_h=H, upsample_w=W,
+                                         compute_dtype=dtype or jnp.float32)
             pose = pose12.reshape(1, 3, 4)
             if cfg.svd_reg:
                 pose = project_rotation_svd(pose)
             return pose
 
         def loss_fn(params, nerf_params, feat_params, image, pose_gt12, hist):
-            pose = predict_pose(params, image)
+            pose = predict_pose(params, image, self._cdt)
             rgb = nerf.render_fn(nerf_params, pose[0], hist)      # (H,W,3)
             x = jnp.stack([image, rgb], 0)                        # [real; render]
             feats, _, _ = dfnet_forward(
@@ -158,9 +163,11 @@ class DMTrainer:
         self._eval_batch = jax.jit(eval_batch)
 
         def predict12(params, images):
+            # eval path: f32 convs regardless of feature_precision (pose
+            # metrics of ported checkpoints must be bit-faithful)
             _, pose12, _ = dfnet_forward(params, self.state, images, mcfg,
                                          return_feature=False,
-                                         upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
+                                         upsample_h=H, upsample_w=W)
             return pose12
 
         self._predict12 = jax.jit(predict12)

@@ -168,10 +168,11 @@ class FeatureTrainer:
         self._step = jax.jit(step, donate_argnums=(0, 2))
 
         def predict(params, state, images):
+            # eval path: f32 convs regardless of feature_precision (pose
+            # metrics of ported checkpoints must be bit-faithful)
             _, pose, _ = dfnet_forward(params, state, images, mcfg,
                                        return_feature=False,
-                                       upsample_h=H, upsample_w=W, train_bn=False,
-                                       compute_dtype=cdt)
+                                       upsample_h=H, upsample_w=W, train_bn=False)
             return pose
 
         self._predict = jax.jit(predict)
