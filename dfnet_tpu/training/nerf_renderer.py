@@ -119,7 +119,11 @@ class FrozenNeRF:
                     ws["pose_scale2"])
                 out = render_image_fast(params, model, pose_nerf, hist,
                                         rh, rw, rf, settings, chunk=chunk,
-                                        use_proposal=cfg.proposal_render)
+                                        use_proposal=cfg.proposal_render,
+                                        cull_q=cfg.render_cull_q,
+                                        n_fine=cfg.render_fine_total or None,
+                                        n_place=cfg.render_place_samples
+                                        or None)
                 rgb = out["rgb"]
                 if tiny:
                     rgb = resize_bicubic(rgb, H, W)
