@@ -51,8 +51,31 @@ N_FINE = 24
 N_PLACE = 32
 
 
+def _arm_watchdog():
+    """The device relay in this environment can wedge (jax.devices()
+    blocks forever, Aug-17 outage). A hung bench is worse than a failed
+    one for the driver — hard-exit with a diagnostic instead."""
+    import os
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG_S", "3000"))
+
+    def boom():
+        print(f"[bench] WATCHDOG: no result after {limit:.0f}s — device "
+              "backend likely wedged (relay outage); aborting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(limit, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import numpy as np
+
+    watchdog = _arm_watchdog()
 
     from dfnet_tpu.config import parse_args
     from dfnet_tpu.data.synthetic import make_synthetic_scene
@@ -167,6 +190,7 @@ def main():
         assert checksum == checksum, "render produced NaN"
         best = max(best, n * iters / dt)
     rays_per_sec = best
+    watchdog.cancel()
     print(json.dumps({
         "metric": "nerf_render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
