@@ -186,8 +186,10 @@ def main():
         for i in range(iters):
             checksum = float(render_checksum(params, rays_o, rays_d,
                                              (rep * iters + i) * 1e-6))
+            # the float() above already syncs, so validating every timed
+            # call is free — a NaN in ANY iteration voids the number
+            assert checksum == checksum, "render produced NaN"
         dt = time.perf_counter() - t0
-        assert checksum == checksum, "render produced NaN"
         best = max(best, n * iters / dt)
     rays_per_sec = best
     watchdog.cancel()

@@ -180,10 +180,12 @@ _FIELDS = {f.name: f for f in dataclasses.fields(Config)}
 def _coerce(name: str, raw, current):
     """Coerce a raw string (or list of strings) to the field's type."""
     f = _FIELDS[name]
-    ftype = f.type
+    # `from __future__ import annotations` stringizes f.type, so compare
+    # against the string forms ("bool", "Optional[bool]").
+    ftype = f.type if isinstance(f.type, str) else str(f.type)
     if isinstance(raw, bool):
         return raw
-    if ftype in ("bool", Optional[bool]) or isinstance(current, bool):
+    if ftype in ("bool", "Optional[bool]") or isinstance(current, bool):
         if isinstance(raw, str):
             return raw.strip().lower() in ("true", "1", "yes", "on")
         return bool(raw)

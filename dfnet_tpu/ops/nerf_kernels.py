@@ -777,10 +777,13 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
     ]
     if spec.fine:
         out_shape.append(acc(3, W, W))  # d_wtrans
+    # bias rows 0..D-1 trunk, D dt_fold, D+1..D+3 trans, D+4 heads —
+    # round the block up to an 8-sublane multiple so deep MLPs fit
+    brows = -(-(spec.D + 5) // 8) * 8
     out_shape += [
         acc(OUT_ROWS, W),            # d_wheads (rows 0:16)
         acc(OUT_ROWS, W),            # d_wsigma (rows 0:16)
-        acc(16, bcols),              # d_bias rows
+        acc(brows, bcols),           # d_bias rows
         acc(G, W, LANES),            # g_dpt per tile (features, ray cols)
     ]
     const = lambda r: pl.BlockSpec(r, lambda i: (0,) * len(r),
@@ -792,7 +795,7 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
     if spec.fine:
         out_specs.append(const((3, W, W)))
     out_specs += [
-        const((OUT_ROWS, W)), const((OUT_ROWS, W)), const((16, bcols)),
+        const((OUT_ROWS, W)), const((OUT_ROWS, W)), const((brows, bcols)),
         pl.BlockSpec((1, W, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]

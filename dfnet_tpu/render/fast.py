@@ -192,11 +192,14 @@ def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float):
     cdf_u = jnp.clip((bins - z_lo) / (z_hi - z_lo), 0.0, 1.0)
     cdf_mix = (1.0 - lam) * cdf_w + lam * cdf_u
 
-    # cdf_mix is flat at exactly 1.0 for every bin past z_hi, so the
-    # endpoint u=1.0 would tie-break to the FAR PLANE bin (max over the
-    # tie), wasting one of n_total samples per ray outside the culled
-    # interval; nudging u below 1 makes it land just inside z_hi
+    # every bin past z_hi shares one flat cdf value (cumsum adds exact
+    # 0s; cdf_u clips at exactly 1), so any u >= that value tie-breaks
+    # to the FAR PLANE bin (max over the tie), wasting one of n_total
+    # samples per ray outside the culled interval. Scale u per ray by
+    # the flat value itself (not a fixed 1-1e-6 nudge, which f32 cumsum
+    # error in cdf_w can undercut) so u_max lands just inside z_hi.
     u = jnp.linspace(0.0, 1.0, n_total) * (1.0 - 1e-6)
+    u = u * cdf_mix[..., -1:]
     u = jnp.broadcast_to(u, cdf_mix.shape[:-1] + (n_total,))
     le = cdf_mix[..., None, :] <= u[..., :, None]
     cdf_e = cdf_mix[..., None, :]
@@ -293,6 +296,15 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     of fine kernel + XLA SoA composite."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if cull_q <= 0.0 and exact_union and (n_fine or n_place):
+        # The exact-union schedule's fine count is structural (the S
+        # placement z's unioned with N_importance importance draws) —
+        # honoring n_fine/n_place here would desync the fine tile from
+        # ray_align. They are knobs of the culled/blended schedules.
+        raise ValueError(
+            "n_fine/n_place (render_fine_total/render_place_samples) "
+            "require cull_q > 0 or exact_union=False; the exact-union "
+            "schedule always renders N_samples+N_importance samples")
     model = fast.model
     n = rays_o.shape[0]
     # n_place: sample count of the PLACEMENT sweep (proposal sigma grid
@@ -389,6 +401,18 @@ def render_rays_fast(fast: FastNeRFH, rays_o, rays_d, hist,
     raw16 = nk.fine_raw_t(fast.packed_fine, rays_o, rays_d, z_all, dpt,
                           fast.spec_fine, interpret=interpret)
     return composite_soa(raw16, z_all, white_bkgd=settings.white_bkgd)
+
+
+def cull_schedule_kwargs(cfg) -> Dict:
+    """cfg.render_* flags as render kwargs, gated so n_fine/n_place are
+    only forwarded when the culled sampler is on — under the default
+    exact-union schedule they are meaningless and render_rays_fast
+    rejects them (the union's fine count is structural)."""
+    q = float(cfg.render_cull_q or 0.0)
+    if q <= 0.0:
+        return {"cull_q": 0.0, "n_fine": None, "n_place": None}
+    return {"cull_q": q, "n_fine": cfg.render_fine_total or None,
+            "n_place": cfg.render_place_samples or None}
 
 
 # On the CPU backend the kernels run in (slow) interpret mode — only

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from dfnet_tpu.models.nerfw import lookup_hist_embedding
 from dfnet_tpu.ops import nerf_kernels as nk
+from dfnet_tpu.render.fast import _shifted_cumprod_lanes as _shifted_cumprod
 from dfnet_tpu.render.sampling import sample_pdf, stratified_z_vals
 from dfnet_tpu.render.volume import NeRFHModel, RenderSettings
 
@@ -71,11 +72,6 @@ raw_sweep_ad.defvjp(_raw_fwd, _raw_bwd)
 # ---------------------------------------------------------------------------
 # SoA train-time composites (channel-major raw input)
 # ---------------------------------------------------------------------------
-
-def _shifted_cumprod(alphas):
-    shifted = jnp.concatenate(
-        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas[..., :-1]], -1)
-    return jnp.cumprod(shifted, -1)
 
 
 def composite_static_train(raw16, z_vals, white_bkgd: bool = False,

@@ -111,7 +111,8 @@ class FrozenNeRF:
 
             use_fast = fast_path_supported(model, settings)
         if use_fast:
-            from dfnet_tpu.render.fast import render_image_fast
+            from dfnet_tpu.render.fast import (cull_schedule_kwargs,
+                                               render_image_fast)
 
             def render_at_pose_nograd(params, pose_apr, hist):
                 pose_nerf = rescale_poses_to_nerf(
@@ -120,10 +121,7 @@ class FrozenNeRF:
                 out = render_image_fast(params, model, pose_nerf, hist,
                                         rh, rw, rf, settings, chunk=chunk,
                                         use_proposal=cfg.proposal_render,
-                                        cull_q=cfg.render_cull_q,
-                                        n_fine=cfg.render_fine_total or None,
-                                        n_place=cfg.render_place_samples
-                                        or None)
+                                        **cull_schedule_kwargs(cfg))
                 rgb = out["rgb"]
                 if tiny:
                     rgb = resize_bicubic(rgb, H, W)

@@ -203,18 +203,17 @@ class NeRFTrainer:
 
             use_fast = fast_path_supported(model, self.settings_test)
         if use_fast:
-            from dfnet_tpu.render.fast import render_image_fast
+            from dfnet_tpu.render.fast import (cull_schedule_kwargs,
+                                               render_image_fast)
 
             def render_one(params, pose, hist, epoch):
                 return render_image_fast(params, model, pose, hist, eh, ew,
                                          ef, self.settings_test,
                                          chunk=min(cfg.chunk, eh * ew),
                                          use_proposal=cfg.proposal_render,
-                                         cull_q=cfg.render_cull_q,
-                                         n_fine=cfg.render_fine_total or None,
-                                         n_place=cfg.render_place_samples
-                                         or None)
+                                         **cull_schedule_kwargs(cfg))
         elif mesh is not None and cfg.reduce_embedding != 2:
+            from dfnet_tpu.render.fast import cull_schedule_kwargs
             from dfnet_tpu.render.volume import render_image_sharded
 
             def render_one(params, pose, hist, epoch):
@@ -224,10 +223,8 @@ class NeRFTrainer:
                                             ew, ef, self.settings_test, mesh,
                                             chunk=min(cfg.chunk, eh * ew),
                                             use_proposal=cfg.proposal_render,
-                                            cull_q=cfg.render_cull_q,
-                                            n_fine=cfg.render_fine_total,
-                                            n_place=cfg.render_place_samples,
-                                            fuse_composite=False)
+                                            fuse_composite=False,
+                                            **cull_schedule_kwargs(cfg))
         else:
             def render_one(params, pose, hist, epoch):
                 ep = epoch if cfg.reduce_embedding == 2 else None

@@ -105,3 +105,50 @@ def test_culled_render_tracks_reference_composite():
     # the percent level on a smooth random-init field
     err = np.abs(np.asarray(got["rgb"]) - np.asarray(want["rgb"])).mean()
     assert err < 0.03, err
+
+
+def test_culled_last_sample_stays_off_the_far_plane():
+    """u-endpoint robustness: with peaked weights far from the far
+    plane, NO sample may land on it, across many random rays — the
+    fixed 1-1e-6 nudge could be undercut by f32 cumsum error in cdf_w,
+    so u is scaled by the per-ray flat cdf value instead."""
+    rng = np.random.default_rng(0)
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 65), (256, 65))
+    centers = rng.uniform(0.2, 0.5, (256, 1))
+    mid = np.asarray(0.5 * (np.asarray(bins)[:, 1:] + np.asarray(bins)[:, :-1]))
+    w = np.exp(-0.5 * ((mid - centers) / 0.02) ** 2).astype(np.float32)
+    w += rng.uniform(0.0, 1e-4, w.shape).astype(np.float32)
+    z = np.asarray(sample_pdf_culled(jnp.asarray(bins), jnp.asarray(w),
+                                     n_total=24, lam=1.0 / 3.0, q=2e-3))
+    assert (z[:, -1] < 0.99).all(), z[:, -1].max()
+
+
+def test_schedule_flags_rejected_under_exact_union():
+    """n_fine/n_place desync ray_align from the structural exact-union
+    sample count, so render_rays_fast must reject the combination with
+    a clear error; cull_schedule_kwargs gates the config flags."""
+    from dfnet_tpu.render.fast import cull_schedule_kwargs
+
+    cfg = parse_args(["--NeRFH", "--encode_hist", "--dataset_type",
+                      "synthetic", "--precision", "bf16"], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.0, 2.5, test=True)
+    fast = FastNeRFH.pack(params, model)
+    n = fast.ray_align(settings)
+    ro = jnp.zeros((n, 3))
+    rd = jnp.ones((n, 3))
+    hist = jnp.zeros((n, cfg.hist_bin), jnp.int32)
+    with pytest.raises(ValueError, match="exact-union"):
+        render_rays_fast(fast, ro, rd, hist, settings, exact_union=True,
+                         n_fine=24, interpret=True)
+    with pytest.raises(ValueError, match="exact-union"):
+        render_rays_fast(fast, ro, rd, hist, settings, exact_union=True,
+                         n_place=32, interpret=True)
+    # the config gate only forwards the knobs when culling is on
+    kw = cull_schedule_kwargs(cfg.replace(render_fine_total=24,
+                                          render_place_samples=32))
+    assert kw == {"cull_q": 0.0, "n_fine": None, "n_place": None}
+    kw = cull_schedule_kwargs(cfg.replace(render_cull_q=2e-3,
+                                          render_fine_total=24,
+                                          render_place_samples=32))
+    assert kw == {"cull_q": 2e-3, "n_fine": 24, "n_place": 32}

@@ -125,3 +125,55 @@ def test_grad_nonzero_everywhere(setup):
         if ks.startswith("['proposal']"):
             continue
         assert np.abs(np.asarray(v)).max() > 0, f"zero grad at {ks}"
+
+
+def test_grad_parity_deep_mlp():
+    """netdepth=12 pushes the bias-gradient rows past the old fixed
+    16-row dbias block (b_heads lives at row D+4=16): the block now
+    scales with depth, so deep MLPs must keep full grad parity."""
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--netdepth", "12", "--netwidth", "32", "--netdepth_fine", "12",
+        "--netwidth_fine", "32", "--N_samples", "16", "--N_importance",
+        "16", "--precision", "bf16",
+    ], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.5, 3.5)
+    n = train_ray_align(settings)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    ro = jax.random.normal(k1, (n, 3)) * 0.1
+    rd = jax.random.normal(k2, (n, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    hist = jnp.zeros((n, cfg.hist_bin), jnp.int32)
+    target = jax.random.uniform(k3, (n, 3))
+    rng = jax.random.PRNGKey(3)
+
+    def loss_ref(p):
+        out = render_rays(p, model, ro, rd, hist, settings, rng)
+        return sum(nerfw_loss(out, target).values())
+
+    def loss_fused(p):
+        out = render_rays_train_fused(p, model, ro, rd, hist, settings, rng)
+        return sum(nerfw_loss(out, target).values())
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    assert np.allclose(float(lr), float(lf), rtol=1e-3)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gf)}
+    checked = 0
+    for key, vr in jax.tree_util.tree_leaves_with_path(gr):
+        ks = jax.tree_util.keystr(key)
+        if ks.startswith("['proposal']") or ".b" not in ks.replace(
+                "['", ".").replace("']", ""):
+            # depth regression is about BIAS rows; weights covered above
+            if not any(t in ks for t in ("'b'", "bias")):
+                continue
+        vf = flat_f[ks]
+        vr, vf = np.asarray(vr, np.float64), np.asarray(vf, np.float64)
+        scale = max(np.abs(vr).max(), np.abs(vf).max(), 1e-6)
+        # additive floor 3e-7: at D=12/W=32 some early-layer grads are
+        # ~1e-7 in magnitude (vanishing), where bf16 path noise dominates
+        assert np.abs(vr - vf).max() < 3e-2 * scale + 3e-7, ks
+        checked += 1
+    assert checked >= 10
