@@ -141,6 +141,8 @@ class Config:
     render_cull_q: float = 0.0          # >0: culled fast-path sampling (empty-space + termination)
     render_fine_total: int = 0          # culled mode: fine samples/ray (0 = N_samples+N_importance)
     render_place_samples: int = 0       # culled mode: placement-sweep samples (0 = N_samples)
+    train_cull_q: float = 0.0           # >0: culled TRAIN-time fine sampling (stage 1)
+    train_fine_total: int = 0           # culled train: fine samples/ray (0 = N_samples+N_importance)
     proposal: bool = True               # train a tiny proposal sampler alongside NeRF-H stage 1
     proposal_D: int = 2                 # proposal MLP depth
     proposal_W: int = 64                # proposal MLP width

@@ -113,5 +113,7 @@ def render_settings(cfg: Config, near: float, far: float,
         perturb=cfg.perturb, raw_noise_std=cfg.raw_noise_std,
         lindisp=cfg.lindisp, white_bkgd=cfg.white_bkgd,
         near=float(near), far=float(far),
-        fine_importance_only=cfg.fine_importance_only)
+        fine_importance_only=cfg.fine_importance_only,
+        train_cull_q=cfg.train_cull_q,
+        train_fine_total=cfg.train_fine_total)
     return s.test() if test else s

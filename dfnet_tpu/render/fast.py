@@ -138,7 +138,8 @@ def sample_pdf_blend(bins, weights, n_total: int, lam: float):
     return jax.lax.stop_gradient(bins_b + t * (bins_a - bins_b))
 
 
-def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float):
+def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float,
+                      rng=None):
     """Empty-space-culled blended-CDF sampling.
 
     TPU-native static-shape equivalent of occupancy-grid empty-space
@@ -157,7 +158,12 @@ def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float):
     bins: (N, M) sorted sample locations; weights: (N, M-1) proposal
     weights between them. Keeping n_total below N_samples+N_importance
     is what converts culling into throughput: unchanged local sample
-    density over a ~2-3x shorter informative interval."""
+    density over a ~2-3x shorter informative interval.
+
+    rng: when given (train time), the inverse-CDF draw is STRATIFIED —
+    u_i = (i + xi_i)/n with xi ~ U[0,1) per ray — matching the role of
+    perturb=1 in the reference schedule; None = deterministic linspace
+    (test time)."""
     weights = jax.lax.stop_gradient(weights) + 1e-5
     pdf = weights / jnp.sum(weights, -1, keepdims=True)
     cdf = jnp.cumsum(pdf, -1)
@@ -198,7 +204,12 @@ def sample_pdf_culled(bins, weights, n_total: int, lam: float, q: float):
     # samples per ray outside the culled interval. Scale u per ray by
     # the flat value itself (not a fixed 1-1e-6 nudge, which f32 cumsum
     # error in cdf_w can undercut) so u_max lands just inside z_hi.
-    u = jnp.linspace(0.0, 1.0, n_total) * (1.0 - 1e-6)
+    if rng is None:
+        u = jnp.linspace(0.0, 1.0, n_total) * (1.0 - 1e-6)
+    else:
+        xi = jax.random.uniform(rng, cdf_mix.shape[:-1] + (n_total,))
+        u = (jnp.arange(n_total, dtype=jnp.float32) + xi) / n_total
+        u = u * (1.0 - 1e-6)
     u = u * cdf_mix[..., -1:]
     u = jnp.broadcast_to(u, cdf_mix.shape[:-1] + (n_total,))
     le = cdf_mix[..., None, :] <= u[..., :, None]

@@ -147,6 +147,8 @@ def train_ray_align(settings: RenderSettings) -> int:
     S_all = S + settings.N_importance
     if settings.fine_importance_only:
         S_all = settings.N_importance
+    if settings.train_cull_q > 0.0 and settings.train_fine_total:
+        S_all = settings.train_fine_total
     a = 1
     for r in (nk.ray_tile(S), nk.ray_tile(S_all),
               nk.tile_geometry(S, target=1024)[0],
@@ -237,15 +239,27 @@ def render_rays_train_fused(
     out: Dict = {"rgb0": comp_c["rgb"], "disp0": comp_c["disp"],
                  "acc0": comp_c["acc"]}
 
-    # ---- fine sampling (reference: detached inverse-CDF union)
+    # ---- fine sampling (reference: detached inverse-CDF union;
+    # culled train profile: per-ray interval restriction, fast.py)
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
-                           settings.N_importance, k_pdf,
-                           det=(settings.perturb == 0.0))
-    if settings.fine_importance_only:
-        z_all = jnp.sort(z_samples, -1)
+    if settings.train_cull_q > 0.0:
+        from dfnet_tpu.render.fast import sample_pdf_culled
+
+        lam = S / (S + settings.N_importance)
+        nf = settings.train_fine_total or (S + settings.N_importance)
+        z_all = sample_pdf_culled(
+            z_mid, comp_c["weights"][..., 1:-1], nf, lam=lam,
+            q=settings.train_cull_q,
+            rng=(k_pdf if settings.perturb > 0.0 else None))
+        z_samples = z_all
     else:
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
+                               settings.N_importance, k_pdf,
+                               det=(settings.perturb == 0.0))
+        if settings.fine_importance_only:
+            z_all = jnp.sort(z_samples, -1)
+        else:
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
     z_all = jax.lax.stop_gradient(z_all)
 
     # ---- fine sweep (transient)

@@ -49,9 +49,21 @@ class RenderSettings:
     # FLOPs; must be used at BOTH train and test time (the reference
     # scheme is fine_importance_only=False).
     fine_importance_only: bool = False
+    # TPU-fast TRAIN profile (no reference analog; the test-time analog
+    # is render_cull_q/render_fine_total): restrict the fine pass to
+    # the per-ray informative interval of the coarse CDF ([q, 1-q]
+    # quantiles) and draw train_fine_total stratified blended samples
+    # there instead of the N_samples+N_importance union. 0 = off
+    # (reference schedule). Early in training the coarse weights are
+    # near-uniform, so the quantile interval spans ~[near, far] and the
+    # schedule degrades gracefully to uniform sampling.
+    train_cull_q: float = 0.0
+    train_fine_total: int = 0
 
     def test(self) -> "RenderSettings":
-        return replace(self, perturb=0.0, raw_noise_std=0.0, test_time=True)
+        return replace(self, perturb=0.0, raw_noise_std=0.0,
+                       test_time=True, train_cull_q=0.0,
+                       train_fine_total=0)
 
 
 @dataclass(frozen=True)
@@ -231,13 +243,29 @@ def render_rays(
 
     if settings.N_importance > 0:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
-                               settings.N_importance, k_pdf,
-                               det=(settings.perturb == 0.0))
-        if settings.fine_importance_only:
-            z_all = jnp.sort(z_samples, -1)
+        if settings.train_cull_q > 0.0 and not settings.test_time:
+            # culled train schedule: per-ray interval restriction +
+            # blended stratified draw (see RenderSettings / fast.py)
+            from dfnet_tpu.render.fast import sample_pdf_culled
+
+            lam = settings.N_samples / (settings.N_samples
+                                        + settings.N_importance)
+            nf = settings.train_fine_total or (settings.N_samples
+                                               + settings.N_importance)
+            z_all = sample_pdf_culled(
+                z_mid, comp_c["weights"][..., 1:-1], nf, lam=lam,
+                q=settings.train_cull_q,
+                rng=(k_pdf if settings.perturb > 0.0 else None))
+            z_samples = z_all
         else:
-            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+            z_samples = sample_pdf(z_mid, comp_c["weights"][..., 1:-1],
+                                   settings.N_importance, k_pdf,
+                                   det=(settings.perturb == 0.0))
+            if settings.fine_importance_only:
+                z_all = jnp.sort(z_samples, -1)
+            else:
+                z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1),
+                                 -1)
         pts_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
 
         cfgf = model.cfg_fine

@@ -8,6 +8,11 @@ fast paths), optionally followed by a stage-2 DFNet run with RVS
 through the frozen NeRF.
 
 Usage:  python scripts/quality_synthetic.py [--stage2]
+          [--train_cull_q Q --train_fine_total N]
+
+The optional train-cull flags run stage 1 under the culled TRAIN
+schedule (per-ray interval-restricted fine sampling) so its convergence
+can be compared against the reference schedule's tables in QUALITY.md.
 """
 import sys
 import time
@@ -27,9 +32,13 @@ from dfnet_tpu.training.nerf_trainer import NeRFTrainer
 
 def main():
     stage2 = "--stage2" in sys.argv
+    extra = []
+    for flag in ("--train_cull_q", "--train_fine_total"):
+        if flag in sys.argv:
+            extra += [flag, sys.argv[sys.argv.index(flag) + 1]]
     cfg = parse_args([
         "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
-        "--precision", "bf16", "--N_rand", "1024",
+        "--precision", "bf16", "--N_rand", "1024", *extra,
     ], stage="nerf")
     scene = make_synthetic_scene(n_train=24, n_val=6, H=48, W=64, focal=60.0,
                                  seed=0, appearance_jitter=0.1)

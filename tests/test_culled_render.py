@@ -152,3 +152,153 @@ def test_schedule_flags_rejected_under_exact_union():
                                           render_fine_total=24,
                                           render_place_samples=32))
     assert kw == {"cull_q": 2e-3, "n_fine": 24, "n_place": 32}
+
+
+# ---------------------------------------------------------------------------
+# train-time culling (train_cull_q / train_fine_total)
+# ---------------------------------------------------------------------------
+
+def _train_setup(extra=()):
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--netdepth", "4", "--netwidth", "32", "--netdepth_fine", "4",
+        "--netwidth_fine", "32", "--N_samples", "16", "--N_importance",
+        "16", "--precision", "bf16", *extra,
+    ], stage="nerf")
+    model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.5, 3.5)
+    return cfg, model, params, settings
+
+
+def test_train_cull_shapes_and_grads():
+    """Culled train schedule: z_all carries train_fine_total samples,
+    outputs stay finite, and every MLP/embedding leaf still gets a
+    nonzero gradient (the culled draw is stop-gradient, like the
+    reference's detached z_samples)."""
+    from dfnet_tpu.models.losses import nerfw_loss
+
+    cfg, model, params, settings = _train_setup(
+        ["--train_cull_q", "2e-3", "--train_fine_total", "12"])
+    assert settings.train_cull_q == 2e-3
+    n = 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    ro = jax.random.normal(k1, (n, 3)) * 0.1
+    rd = jax.random.normal(k2, (n, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    hist = jnp.zeros((n, cfg.hist_bin), jnp.int32)
+    target = jax.random.uniform(k3, (n, 3))
+
+    out = render_rays(params, model, ro, rd, hist, settings,
+                      jax.random.PRNGKey(7))
+    assert out["z_all"].shape == (n, 12)
+    for k in ("rgb0", "rgb", "beta", "acc"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # z_all stays inside [near, far] and sorted (stratified draw)
+    z = np.asarray(out["z_all"])
+    assert (z >= settings.near).all() and (z <= settings.far).all()
+    assert (np.diff(z, axis=-1) >= -1e-5).all()
+
+    def loss(p):
+        o = render_rays(p, model, ro, rd, hist, settings,
+                        jax.random.PRNGKey(7))
+        return sum(nerfw_loss(o, target).values())
+
+    g = jax.grad(loss)(params)
+    for key, v in jax.tree_util.tree_leaves_with_path(g):
+        ks = jax.tree_util.keystr(key)
+        if ks.startswith("['proposal']"):
+            continue
+        assert np.abs(np.asarray(v)).max() > 0, f"zero grad at {ks}"
+
+
+def test_train_cull_fused_matches_xla():
+    """Fused custom-VJP train path under the culled schedule: forward
+    and gradients match the XLA path (identical rng split order, so the
+    culled stratified draw is identical too)."""
+    from dfnet_tpu.models.losses import nerfw_loss
+    from dfnet_tpu.render.fused_train import (fused_train_supported,
+                                              render_rays_train_fused,
+                                              train_ray_align)
+
+    cfg, model, params, settings = _train_setup(
+        ["--train_cull_q", "2e-3", "--train_fine_total", "16"])
+    n = train_ray_align(settings)
+    assert fused_train_supported(model, settings, n) or \
+        jax.default_backend() == "cpu"
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    ro = jax.random.normal(k1, (n, 3)) * 0.1
+    rd = jax.random.normal(k2, (n, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    hist = jnp.zeros((n, cfg.hist_bin), jnp.int32)
+    target = jax.random.uniform(k3, (n, 3))
+    rng = jax.random.PRNGKey(9)
+
+    ref = render_rays(params, model, ro, rd, hist, settings, rng)
+    fused = render_rays_train_fused(params, model, ro, rd, hist, settings,
+                                    rng)
+    np.testing.assert_allclose(np.asarray(ref["z_all"]),
+                               np.asarray(fused["z_all"]), atol=2e-3)
+    for k in ("rgb0", "rgb", "beta", "acc"):
+        a, b = np.asarray(ref[k]), np.asarray(fused[k])
+        assert np.allclose(a, b, atol=5e-3), (
+            f"{k}: max err {np.abs(a - b).max()}")
+
+    def loss_ref(p):
+        return sum(nerfw_loss(
+            render_rays(p, model, ro, rd, hist, settings, rng),
+            target).values())
+
+    def loss_fused(p):
+        return sum(nerfw_loss(
+            render_rays_train_fused(p, model, ro, rd, hist, settings, rng),
+            target).values())
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    assert np.allclose(float(lr), float(lf), rtol=1e-3)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gf)}
+    for key, vr in jax.tree_util.tree_leaves_with_path(gr):
+        ks = jax.tree_util.keystr(key)
+        if ks.startswith("['proposal']"):
+            continue
+        vf = flat_f[ks]
+        vr, vf = np.asarray(vr, np.float64), np.asarray(vf, np.float64)
+        scale = max(np.abs(vr).max(), np.abs(vf).max(), 1e-6)
+        assert np.abs(vr - vf).max() < 3e-2 * scale + 3e-7, ks
+
+
+def test_train_cull_loss_decreases():
+    """A few Adam steps under the culled train schedule reduce the loss
+    on a fixed batch (sanity that the restricted schedule trains)."""
+    import optax
+
+    from dfnet_tpu.models.losses import nerfw_loss
+
+    cfg, model, params, settings = _train_setup(
+        ["--train_cull_q", "2e-3", "--train_fine_total", "12"])
+    n = 128
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    ro = jax.random.normal(k1, (n, 3)) * 0.1
+    rd = jax.random.normal(k2, (n, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    hist = jnp.zeros((n, cfg.hist_bin), jnp.int32)
+    target = jax.random.uniform(k3, (n, 3))
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, rng):
+        def loss_fn(p):
+            o = render_rays(p, model, ro, rd, hist, settings, rng)
+            return sum(nerfw_loss(o, target).values())
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, l
+
+    losses = []
+    for i in range(8):
+        params, opt_state, l = step(params, opt_state,
+                                    jax.random.PRNGKey(100 + i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
