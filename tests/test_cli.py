@@ -155,3 +155,33 @@ def test_check_numerics_flag(tmp_path, monkeypatch):
         assert jax.config.jax_debug_nans
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_help_exits_cleanly(capsys):
+    """-h/--help prints every flag with stage defaults and exits 0
+    (the reference's configargparse auto-help surface)."""
+    from dfnet_tpu.config import parse_args
+
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--help"], stage="feature")
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "--tripletloss" in out and "--train_cull_q" in out
+    # stage overlay reflected in the printed default
+    assert "dfnet-feature" in out
+
+
+def test_cli_shims_reexport_package_entry_points():
+    """The repo-root scripts are thin shims over dfnet_tpu.cli (which
+    pyproject installs as dfnet-nerf/dfnet-feature/dfnet-dm)."""
+    import run_feature
+    import run_nerf
+    import train as train_cli
+
+    from dfnet_tpu.cli import dm, feature, nerf
+
+    assert run_nerf.train is nerf.train and run_nerf.main is nerf.main
+    assert run_feature.train is feature.train
+    assert run_feature.render_features is feature.render_features
+    assert train_cli.train is dm.train and train_cli.evaluate is dm.evaluate
+    assert callable(dm.main)
