@@ -96,14 +96,22 @@ class NeRFTrainer:
         model_has_proposal = (getattr(model, "cfg_proposal", None) is not None
                               and "proposal" in self.params)
 
-        # fused Pallas train step (custom-VJP kernels): single-device
-        # only — under a mesh the GSPMD partitioner can't split
-        # pallas_call, so sharded runs keep the XLA step
+        # fused Pallas train step (custom-VJP kernels). Under a mesh the
+        # GSPMD partitioner can't split a pallas_call, so the sharded
+        # variant runs the kernels per-shard inside shard_map (ray-DP,
+        # params replicated, grads pmean'd over ICI) — same scheme as
+        # render_image_sharded.
         use_fused_train = False
-        if cfg.fused_train and mesh is None and cfg.reduce_embedding != 2:
+        if cfg.fused_train and cfg.reduce_embedding != 2:
             from dfnet_tpu.render.fused_train import fused_train_supported
 
-            use_fused_train = fused_train_supported(model, settings, n_rand)
+            n_shard = n_rand
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                n_shard = n_rand // n_dev if n_rand % n_dev == 0 else 0
+            use_fused_train = (n_shard > 0
+                               and fused_train_supported(model, settings,
+                                                         n_shard))
 
         def loss_fn(params, rays_o, rays_d, target, hist, rng, epoch):
             # epoch only matters for the DNeRF windowed embedding
@@ -143,8 +151,45 @@ class NeRFTrainer:
                 loss = loss + cfg.proposal_loss_w * proposal_bound_loss(
                     comp_p["weights"], z_vals, out["weights_fine"],
                     out["z_all"])
-            psnr = mse2psnr(img2mse(out["rgb"], target))
-            return loss, psnr
+            # aux is the raw MSE (not PSNR) so the sharded path can
+            # pmean it exactly before the log transform
+            return loss, img2mse(out["rgb"], target)
+
+        if use_fused_train and mesh is not None:
+            # per-shard fused kernels under shard_map; the per-shard rng
+            # is folded with the mesh position so stratified jitter /
+            # noise draws differ across shards (all rng use is off at
+            # perturb=0, where this path is equivalence-tested against
+            # the single-device step)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _vg_worker(params, ro, rd, tgt, hb, rng, epoch):
+                rng = jax.random.fold_in(rng,
+                                         jax.lax.axis_index("data"))
+                (loss, mse), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, ro, rd, tgt, hb, rng,
+                                           epoch)
+                return ((jax.lax.pmean(loss, "data"),
+                         jax.lax.pmean(mse, "data")),
+                        jax.lax.pmean(grads, "data"))
+
+            sm_kw = dict(
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                          P(), P()),
+                out_specs=((P(), P()), P()))
+            try:
+                # pallas outputs carry no varying-mesh-axes annotation
+                value_and_grad_fn = shard_map(_vg_worker, check_vma=False,
+                                              **sm_kw)
+            except TypeError:  # older jax: check_rep
+                value_and_grad_fn = shard_map(_vg_worker, check_rep=False,
+                                              **sm_kw)
+        else:
+            def value_and_grad_fn(params, ro, rd, tgt, hb, rng, epoch):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, ro, rd, tgt, hb, rng, epoch)
 
         def step(params, opt_state, images, poses, hists, idx, rng, lr, epoch):
             image = jnp.take(images, idx, axis=0)
@@ -157,14 +202,15 @@ class NeRFTrainer:
             rays_d = rays_d.reshape(-1, 3)[sel]
             target = image.reshape(-1, 3)[sel]
             hist_b = jnp.broadcast_to(hist[None], (n_rand,) + hist.shape)
-            if shard is not None:
+            if shard is not None and not use_fused_train:
                 rays_o = jax.lax.with_sharding_constraint(rays_o, shard)
                 rays_d = jax.lax.with_sharding_constraint(rays_d, shard)
                 target = jax.lax.with_sharding_constraint(target, shard)
                 hist_b = jax.lax.with_sharding_constraint(hist_b, shard)
 
-            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, mse), grads = value_and_grad_fn(
                 params, rays_o, rays_d, target, hist_b, k_render, epoch)
+            psnr = mse2psnr(mse)
             opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

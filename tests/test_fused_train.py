@@ -177,3 +177,60 @@ def test_grad_parity_deep_mlp():
         assert np.abs(vr - vf).max() < 3e-2 * scale + 3e-7, ks
         checked += 1
     assert checked >= 10
+
+
+def test_sharded_fused_step_matches_single_device():
+    """Fused train step under an 8-device mesh (shard_map ray-DP,
+    grads pmean'd): one step's loss/psnr match the single-device fused
+    step exactly at perturb=0 (no rng use, so the per-shard fold_in is
+    inert) up to reduction association."""
+    import dfnet_tpu.render.fused_train as ft
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
+    from dfnet_tpu.parallel.mesh import make_mesh
+    from dfnet_tpu.training.nerf_trainer import NeRFTrainer
+
+    old = ft.ALLOW_INTERPRET_TRAIN
+    ft.ALLOW_INTERPRET_TRAIN = True
+    try:
+        base = parse_args([
+            "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+            "--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+            "--netwidth_fine", "32", "--N_samples", "16", "--N_importance",
+            "16", "--precision", "bf16", "--perturb", "0",
+            "--donate_step", "false",
+        ], stage="nerf")
+        settings = render_settings(base, 0.5, 3.5)
+        n_dev = 8
+        n_rand = n_dev * train_ray_align(settings)
+        cfg = base.replace(N_rand=n_rand)
+        scene = make_synthetic_scene(n_train=4, n_val=1, H=32, W=32,
+                                     focal=30.0, seed=0)
+        t1 = NeRFTrainer(cfg, scene)
+        tm = NeRFTrainer(cfg, scene, mesh=make_mesh(n_dev))
+
+        idx = jnp.int32(0)
+        rng = jax.random.PRNGKey(5)
+        lr = jnp.float32(1e-3)
+        ep = jnp.float32(0.0)
+        args1 = (t1.params, t1.opt_state, t1._dev_images, t1._dev_poses,
+                 t1._dev_hists, idx, rng, lr, ep)
+        argsm = (tm.params, tm.opt_state, tm._dev_images, tm._dev_poses,
+                 tm._dev_hists, idx, rng, lr, ep)
+        p1, o1, l1, ps1 = t1._step(*args1)
+        pm, om, lm, psm = tm._step(*argsm)
+        assert np.isclose(float(l1), float(lm), rtol=1e-5), (l1, lm)
+        assert np.isclose(float(ps1), float(psm), rtol=1e-4)
+        # the two trajectories must keep tracking over further steps
+        # (post-Adam params can't be compared elementwise: near-zero
+        # bf16-level grads sign-flip under the pmean's different f32
+        # reduction order and Adam's g/sqrt(g^2) turns that into +-lr)
+        for i in range(1, 4):
+            rng_i = jax.random.PRNGKey(5 + i)
+            idx_i = jnp.int32(i % 4)
+            p1, o1, l1, _ = t1._step(p1, o1, t1._dev_images, t1._dev_poses,
+                                     t1._dev_hists, idx_i, rng_i, lr, ep)
+            pm, om, lm, _ = tm._step(pm, om, tm._dev_images, tm._dev_poses,
+                                     tm._dev_hists, idx_i, rng_i, lr, ep)
+            assert np.isclose(float(l1), float(lm), rtol=5e-3), (i, l1, lm)
+    finally:
+        ft.ALLOW_INTERPRET_TRAIN = old
