@@ -84,7 +84,22 @@ class NeRFTrainer:
 
     # ------------------------------------------------------------- step
     def _build_step(self):
-        cfg, model, settings = self.cfg, self.model, self.settings
+        self._epoch = self._make_epoch(self.settings, primary=True)
+        # culled-train warmup: the per-ray interval restriction trusts the
+        # coarse weights, which are noise at init — training culled from
+        # epoch 0 costs ~2.3 dB (measured, QUALITY.md). Run the reference
+        # schedule for the first train_cull_warmup epochs, then switch.
+        self._epoch_warm = None
+        if self.cfg.train_cull_q > 0.0 and self.cfg.train_cull_warmup > 0:
+            import dataclasses as _dc
+
+            warm = _dc.replace(self.settings, train_cull_q=0.0,
+                               train_fine_total=0)
+            self._epoch_warm = self._make_epoch(warm, primary=False)
+        self._build_render()
+
+    def _make_epoch(self, settings, primary: bool):
+        cfg, model = self.cfg, self.model
         H, W, focal = self.scene.H, self.scene.W, self.scene.focal
         n_rand = cfg.N_rand
         optimizer = self.optimizer
@@ -217,7 +232,8 @@ class NeRFTrainer:
             return params, opt_state, loss, psnr
 
         donate = (0, 1) if self.cfg.donate_step else ()
-        self._step = jax.jit(step, donate_argnums=donate)
+        if primary:
+            self._step = jax.jit(step, donate_argnums=donate)
 
         # whole-epoch driver: fori_loop over the shuffled image order so an
         # epoch is ONE dispatch (the per-step dispatch overhead through the
@@ -237,7 +253,13 @@ class NeRFTrainer:
                 0, order.shape[0], body, init)
             return params, opt_state, loss, psnr, rng
 
-        self._epoch = jax.jit(epoch_fn, donate_argnums=donate)
+        return jax.jit(epoch_fn, donate_argnums=donate)
+
+    def _build_render(self):
+        cfg, model = self.cfg, self.model
+        H, W, focal = self.scene.H, self.scene.W, self.scene.focal
+        mesh = self.mesh
+        shard = data_sharding(mesh) if mesh is not None else None
 
         # --render_factor: downsampled eval renders for fast preview
         rf = max(int(cfg.render_factor), 1) if cfg.render_factor else 1
@@ -291,7 +313,10 @@ class NeRFTrainer:
         lr = exp_decayed_lr(cfg, self.global_step)
         order = jnp.asarray(np.random.permutation(len(tr)).astype(np.int32))
         self.rng, k = jax.random.split(self.rng)
-        self.params, self.opt_state, loss, psnr, _ = self._epoch(
+        epoch_fn = self._epoch
+        if self._epoch_warm is not None and epoch < cfg.train_cull_warmup:
+            epoch_fn = self._epoch_warm
+        self.params, self.opt_state, loss, psnr, _ = epoch_fn(
             self.params, self.opt_state,
             self._dev_images, self._dev_poses, self._dev_hists,
             order, k, lr, jnp.float32(epoch))
