@@ -86,9 +86,9 @@ class NeRFTrainer:
     def _build_step(self):
         self._epoch = self._make_epoch(self.settings, primary=True)
         # culled-train warmup: the per-ray interval restriction trusts the
-        # coarse weights, which are noise at init — training culled from
-        # epoch 0 costs ~2.3 dB (measured, QUALITY.md). Run the reference
-        # schedule for the first train_cull_warmup epochs, then switch.
+        # coarse weights, which are noise at init — see QUALITY.md's
+        # warmup ablation for the measured cost of culling from epoch 0.
+        # Run the reference schedule for train_cull_warmup epochs first.
         self._epoch_warm = None
         if self.cfg.train_cull_q > 0.0 and self.cfg.train_cull_warmup > 0:
             import dataclasses as _dc
@@ -316,6 +316,12 @@ class NeRFTrainer:
         epoch_fn = self._epoch
         if self._epoch_warm is not None and epoch < cfg.train_cull_warmup:
             epoch_fn = self._epoch_warm
+        elif self._epoch_warm is not None and epoch == cfg.train_cull_warmup:
+            # first post-warmup epoch triggers a fresh jit of the culled
+            # epoch fn (~20-120 s through the relay) — announce it so a
+            # long run's mid-flight stall is explicable (ADVICE.md r3)
+            print("[nerf] warmup done, switching to culled train schedule "
+                  "(compiling)", flush=True)
         self.params, self.opt_state, loss, psnr, _ = epoch_fn(
             self.params, self.opt_state,
             self._dev_images, self._dev_poses, self._dev_hists,

@@ -30,6 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train_cull_q", type=float, default=0.0)
     ap.add_argument("--train_fine_total", type=int, default=0)
+    # warmup must be 0 here or the benched epochs (all < the default
+    # warmup of 60) would silently run the reference schedule while the
+    # label says "cull" (ADVICE.md round 3)
+    ap.add_argument("--train_cull_warmup", type=int, default=0)
     ap.add_argument("--n_rand", type=int, default=1536)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--xla_path", action="store_true",
@@ -39,7 +43,8 @@ def main():
     argv = ["--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
             "--precision", "bf16", "--N_rand", str(a.n_rand),
             "--train_cull_q", str(a.train_cull_q),
-            "--train_fine_total", str(a.train_fine_total)]
+            "--train_fine_total", str(a.train_fine_total),
+            "--train_cull_warmup", str(a.train_cull_warmup)]
     if a.xla_path:
         argv += ["--fused_train", "false"]
     cfg = parse_args(argv, stage="nerf")

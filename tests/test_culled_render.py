@@ -302,3 +302,52 @@ def test_train_cull_loss_decreases():
                                     jax.random.PRNGKey(100 + i))
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_train_cull_warmup_switch(monkeypatch, tmp_path):
+    """With train_cull_q>0 and train_cull_warmup=W, the trainer builds a
+    warm epoch fn whose settings have culling OFF and uses it for epochs
+    < W, switching to the culled primary fn at epoch W (ADVICE.md r3)."""
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
+    from dfnet_tpu.training.nerf_trainer import NeRFTrainer
+
+    built = []
+    orig_make = NeRFTrainer._make_epoch
+
+    def spy(self, settings, primary):
+        built.append((settings, primary))
+        return orig_make(self, settings, primary)
+
+    monkeypatch.setattr(NeRFTrainer, "_make_epoch", spy)
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+        "--netwidth_fine", "16", "--N_samples", "8", "--N_importance", "8",
+        "--N_rand", "16", "--train_cull_q", "2e-3", "--train_fine_total",
+        "8", "--train_cull_warmup", "2", "--basedir", str(tmp_path),
+    ], stage="nerf")
+    scene = make_synthetic_scene(n_train=2, n_val=1, H=8, W=8, focal=8.0,
+                                 seed=0)
+    tr = NeRFTrainer(cfg, scene)
+
+    # primary fn built with culling ON, warm fn with culling OFF
+    assert [p for _, p in built] == [True, False]
+    assert built[0][0].train_cull_q == 2e-3
+    assert built[0][0].train_fine_total == 8
+    assert built[1][0].train_cull_q == 0.0
+    assert built[1][0].train_fine_total == 0
+
+    calls = []
+
+    def fake(tag):
+        def fn(params, opt_state, images, poses, hists, order, rng, lr,
+               epoch):
+            calls.append(tag)
+            return params, opt_state, jnp.float32(0.0), jnp.float32(0.0), rng
+        return fn
+
+    tr._epoch = fake("primary")
+    tr._epoch_warm = fake("warm")
+    for e in range(4):
+        tr.train_epoch(e)
+    assert calls == ["warm", "warm", "primary", "primary"]
