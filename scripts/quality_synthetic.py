@@ -33,7 +33,8 @@ from dfnet_tpu.training.nerf_trainer import NeRFTrainer
 def main():
     stage2 = "--stage2" in sys.argv
     extra = []
-    for flag in ("--train_cull_q", "--train_fine_total"):
+    for flag in ("--train_cull_q", "--train_fine_total",
+                 "--train_cull_warmup"):
         if flag in sys.argv:
             extra += [flag, sys.argv[sys.argv.index(flag) + 1]]
     cfg = parse_args([
