@@ -76,8 +76,12 @@ def main(argv=None):
     workdir = None
     if args.dryrun:
         workdir = tempfile.mkdtemp(prefix="parity_dryrun_")
-        args.datadir = _make_dryrun_fixture(workdir)
-        print(f"[dryrun] miniature 7-Scenes replica at {args.datadir}")
+        if args.dataset_type == "Cambridge":
+            args.datadir = _make_dryrun_fixture_cambridge(workdir)
+        else:
+            args.datadir = _make_dryrun_fixture(workdir)
+        print(f"[dryrun] miniature {args.dataset_type} replica at "
+              f"{args.datadir}")
 
     base = ["--dataset_type", args.dataset_type, "--datadir", args.datadir,
             "--NeRFH", "--encode_hist", "--df", str(args.df)]
@@ -139,9 +143,10 @@ def main(argv=None):
     print("PARITY PROTOCOL COMPLETE")
 
 
-def _make_dryrun_fixture(root, scene="heads", n_frames=6, H=32, W=32):
+def _make_dryrun_fixture(root, scene="heads", n_frames=6, H=64, W=64):
     """Miniature MSR-layout 7-Scenes replica (mirrors the tests'
-    fixture; VGG needs >= 32 px sides)."""
+    fixture). 64 px sides so the default --df 2 leaves >= 32 px for the
+    DFNet eval's VGG (five 2x2 pools)."""
     import json
 
     from PIL import Image
@@ -169,6 +174,38 @@ def _make_dryrun_fixture(root, scene="heads", n_frames=6, H=32, W=32):
                    "pose_scale2": 1,
                    "move_all_cam_vec": [0.0, 0.0, 1.0]}, fh)
     return osp.join(root, "7Scenes", scene)
+
+
+def _make_dryrun_fixture_cambridge(root, scene="KingsCollege", n_frames=6,
+                                   H=64, W=64):
+    """Miniature Cambridge-layout replica (rgb/ + poses/ per split,
+    world_setup.json at the meta root — load_Cambridge.py:349-476
+    layout). 64 px sides so the default --df 2 leaves >= 32 px for VGG."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        rgb = osp.join(root, "deepslam_data", "Cambridge", scene, split,
+                       "rgb")
+        poses = osp.join(root, "deepslam_data", "Cambridge", scene, split,
+                         "poses")
+        os.makedirs(rgb, exist_ok=True)
+        os.makedirs(poses, exist_ok=True)
+        for i in range(n_frames):
+            arr = (rng.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(osp.join(rgb, f"frame{i:05d}.png"))
+            pose = np.eye(4)
+            pose[:3, 3] = rng.normal(size=3)
+            np.savetxt(osp.join(poses, f"frame{i:05d}.txt"), pose)
+    meta = osp.join(root, "Cambridge", scene)
+    os.makedirs(meta, exist_ok=True)
+    with open(osp.join(meta, "world_setup.json"), "w") as fh:
+        json.dump({"near": 0.2, "far": 10, "pose_scale": 0.5,
+                   "pose_scale2": 1,
+                   "move_all_cam_vec": [0.0, 0.0, 0.0]}, fh)
+    return osp.join(root, "Cambridge", scene)
 
 
 if __name__ == "__main__":
