@@ -40,8 +40,12 @@ Other rules (unchanged from the point-major experiments):
 Pass count (fine): trunk 9 (8 layers + skip split) + folded dir/trans 1
 + transient 3 + heads 1 + sigma 1 + expansions ~2 = ~17 per tile.
 
-Test-time only (no autodiff); training keeps the XLA path in
-models/nerfw.py. Functional parity: /root/reference/script/models/
+Forward kernels here power both inference (render/fast.py) and the
+fused training path: render/fused_train.py wraps them in a custom VJP
+whose backward recomputes activations in VMEM (raw_bwd_t below) with
+f32 weight-grad accumulation across grid steps. The plain XLA path in
+models/nerfw.py remains as the reference/fallback.
+Functional parity: /root/reference/script/models/
 nerfw.py:220-354 (MLP heads), :97-130 (positional encoding);
 /root/reference/script/models/rendering.py:245-337 (pipeline).
 """

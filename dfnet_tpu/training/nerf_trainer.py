@@ -58,6 +58,8 @@ def write_video(base: str, frames: np.ndarray, fps: int = 15) -> str:
 class NeRFTrainer:
     """Owns model/params/optimizer and the jitted step/render functions."""
 
+    VIEWS_PER_CALL = 8  # eval/video views rendered per jit dispatch
+
     def __init__(self, cfg: Config, scene: SceneData, mesh=None,
                  rng: Optional[jax.Array] = None):
         self.cfg = cfg
@@ -302,6 +304,18 @@ class NeRFTrainer:
                                     shard=shard)
 
         self._render = jax.jit(render_one)
+
+        def render_views(params, poses, hists, epoch):
+            # lax.map over views: a whole eval/video chunk is ONE dispatch
+            # (the device relay bills ~20-40 ms per synchronized call, so
+            # per-view dispatches dominate eval wall-clock at small frames)
+            def one(a):
+                out = render_one(params, a[0], a[1], epoch)
+                return {"rgb": out["rgb"], "disp": out["disp"]}
+
+            return jax.lax.map(one, (poses, hists))
+
+        self._render_views = jax.jit(render_views)
         self._render_factor = rf
 
     # ------------------------------------------------------------- epochs
@@ -339,11 +353,26 @@ class NeRFTrainer:
         idxs = range(0, len(split), stride)
         if max_images:
             idxs = list(idxs)[:max_images]
+        idxs = list(idxs)
+
+        # batched dispatch (VIEWS_PER_CALL views per jit call, tail padded
+        # by repetition) — same amortization as FrozenNeRF.prerender_views
+        v = self.VIEWS_PER_CALL
+        n = len(idxs)
+        padded = idxs + [idxs[-1]] * (-n % v) if n else []
+        outs = {"rgb": [], "disp": []}
+        for s in range(0, len(padded), v):
+            sel = padded[s:s + v]
+            out = self._render_views(
+                self.params, jnp.asarray(split.poses[sel]),
+                jnp.asarray(split.hists[sel]), jnp.float32(self.global_step))
+            outs["rgb"].append(np.asarray(out["rgb"]))
+            outs["disp"].append(np.asarray(out["disp"]))
+        all_rgb = np.concatenate(outs["rgb"], 0)[:n] if n else np.zeros((0,))
+        all_disp = np.concatenate(outs["disp"], 0)[:n] if n else np.zeros((0,))
+
         for j, i in enumerate(idxs):
-            out = self._render(self.params, jnp.asarray(split.poses[i]),
-                               jnp.asarray(split.hists[i]),
-                               jnp.float32(self.global_step))
-            rgb = np.asarray(out["rgb"])
+            rgb = all_rgb[j]
             gt = split.images[i]
             if self._render_factor != 1:
                 from dfnet_tpu.data.color import downscale_area
@@ -353,14 +382,14 @@ class NeRFTrainer:
             psnrs.append(p)
             if video_base:
                 rgbs.append(rgb)
-                disps.append(np.asarray(out["disp"]))
+                disps.append(all_disp[j])
             if savedir:
                 os.makedirs(savedir, exist_ok=True)
                 import imageio.v2 as imageio
 
                 imageio.imwrite(osp.join(savedir, f"{j:03d}.png"), to8b(rgb))
                 imageio.imwrite(osp.join(savedir, f"{j:03d}_GT.png"), to8b(gt))
-                disp = np.asarray(out["disp"])
+                disp = all_disp[j]
                 imageio.imwrite(osp.join(savedir, f"{j:03d}_disp.png"),
                                 to8b(disp / max(disp.max(), 1e-8)))
         if video_base and rgbs:

@@ -32,6 +32,9 @@ from dfnet_tpu.training.nerf_trainer import NeRFTrainer
 
 def main():
     stage2 = "--stage2" in sys.argv
+    epochs = 301
+    if "--epochs" in sys.argv:
+        epochs = int(sys.argv[sys.argv.index("--epochs") + 1])
     extra = []
     for flag in ("--train_cull_q", "--train_fine_total",
                  "--train_cull_warmup"):
@@ -45,12 +48,12 @@ def main():
                                  seed=0, appearance_jitter=0.1)
     tr = NeRFTrainer(cfg, scene)
     t0 = time.time()
-    for e in range(301):
+    for e in range(epochs):
         loss, psnr = tr.train_epoch(e)
         if e % 50 == 0:
             print(f"epoch {e}: loss {loss:.4f} train-psnr {psnr:.2f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
-    print(f"trained 301 epochs in {time.time()-t0:.0f}s", flush=True)
+    print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
 
     params, model, settings = tr.params, tr.model, tr.settings_test
     H, W, focal = scene.H, scene.W, scene.focal
