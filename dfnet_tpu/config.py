@@ -144,9 +144,9 @@ class Config:
     render_place_samples: int = 0       # culled mode: placement-sweep samples (0 = N_samples)
     train_cull_q: float = 0.0           # >0: culled TRAIN-time fine sampling (stage 1)
     train_fine_total: int = 0           # culled train: fine samples/ray (0 = N_samples+N_importance)
-    train_cull_warmup: int = 60         # culled train: epochs on the reference schedule first
-                                        # (the coarse weights must converge before per-ray
-                                        # interval restriction is trustworthy; 0 = cull from epoch 0)
+    train_cull_warmup: int = 0          # culled train: epochs on the reference schedule first.
+                                        # Measured: warmup does NOT help (QUALITY.md round-4
+                                        # ablation) — kept as a schedule-research knob
     proposal: bool = True               # train a tiny proposal sampler alongside NeRF-H stage 1
     proposal_D: int = 2                 # proposal MLP depth
     proposal_W: int = 64                # proposal MLP width

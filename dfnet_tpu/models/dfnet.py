@@ -158,7 +158,10 @@ def dfnet_forward(
         for i, f in enumerate(taps):
             a, ns = _adapt_level(params["adapt"][str(i)],
                                  state["adapt"][str(i)], f, train_bn)
-            adapted.append(a)
+            # feature maps ride the compute dtype through the (large)
+            # upsample + feature-loss path — BN statistics above stayed
+            # f32; distance reductions in the losses accumulate f32
+            adapted.append(a.astype(compute_dtype))
             new_adapt[str(i)] = ns
         new_state = {**state, "adapt": new_adapt}
         ups = [resize_bilinear_align_corners(a, upsample_h, upsample_w)

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernels for NeRF-H test-time rendering (transposed).
+"""Fused Pallas TPU kernels for NeRF-H rendering AND training (transposed).
 
 Layout: FEATURES IN ROWS (sublanes), POINTS IN LANES. Every tensor a
 kernel touches is a clean (128, T) tile; a layer is

@@ -25,23 +25,38 @@ def _align_corners_coords(out_size: int, in_size: int) -> np.ndarray:
     return (np.arange(out_size) * (in_size - 1) / (out_size - 1)).astype(np.float32)
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """x: (..., H, W, C) → (..., out_h, out_w, C), align_corners=True."""
-    h, w = x.shape[-3], x.shape[-2]
-    ys = _align_corners_coords(out_h, h)
-    xs = _align_corners_coords(out_w, w)
-    y0 = np.floor(ys).astype(np.int32)
-    x0 = np.floor(xs).astype(np.int32)
-    y1 = np.minimum(y0 + 1, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    wy = jnp.asarray(ys - y0)[:, None, None]
-    wx = jnp.asarray(xs - x0)[None, :, None]
+def _bilinear_axis_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) dense interpolation matrix for align_corners=True."""
+    cs = _align_corners_coords(out_size, in_size)
+    i0 = np.floor(cs).astype(np.int32)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    t = cs - i0
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), i0] += 1.0 - t
+    m[np.arange(out_size), i1] += t
+    return m
 
-    rows0 = jnp.take(x, y0, axis=-3)
-    rows1 = jnp.take(x, y1, axis=-3)
-    top = jnp.take(rows0, x0, axis=-2) * (1 - wx) + jnp.take(rows0, x1, axis=-2) * wx
-    bot = jnp.take(rows1, x0, axis=-2) * (1 - wx) + jnp.take(rows1, x1, axis=-2) * wx
-    return top * (1 - wy) + bot * wy
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """x: (..., H, W, C) → (..., out_h, out_w, C), align_corners=True.
+
+    Formulated as two small dense matmuls (separable linear resample)
+    instead of gathers: TPU gathers on multi-MB feature maps relayout
+    and serialize on the VPU, while an (out,in)@(...,in,·) contraction
+    rides the MXU. With align_corners=True an out==in axis matrix is
+    exactly the identity, so the common level-0 case (tap already at
+    target resolution) short-circuits for free."""
+    h, w = x.shape[-3], x.shape[-2]
+    if out_h == h and out_w == w:
+        return x
+    dt = x.dtype
+    if out_w != w:
+        mx = jnp.asarray(_bilinear_axis_matrix(out_w, w), dt)
+        x = jnp.einsum("...wc,vw->...vc", x, mx)
+    if out_h != h:
+        my = jnp.asarray(_bilinear_axis_matrix(out_h, h), dt)
+        x = jnp.einsum("...hwc,gh->...gwc", x, my)
+    return x
 
 
 def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:

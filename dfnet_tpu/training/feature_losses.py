@@ -32,7 +32,7 @@ def pose_loss(pred, target):
 
 
 def feature_mse(f1, f2):
-    return jnp.mean((f1 - f2) ** 2)
+    return jnp.mean((f1 - f2) ** 2, dtype=jnp.float32)
 
 
 def cosine_feature_loss(feature_rgb, feature_target, per_channel: bool = False):
@@ -45,10 +45,11 @@ def cosine_feature_loss(feature_rgb, feature_target, per_channel: bool = False):
     """
     axis = 1 if not per_channel else 0
     eps = 1e-6
-    num = jnp.sum(feature_rgb * feature_target, axis=axis)
-    den = jnp.maximum(
-        jnp.linalg.norm(feature_rgb, axis=axis), eps
-    ) * jnp.maximum(jnp.linalg.norm(feature_target, axis=axis), eps)
+    num = jnp.sum(feature_rgb * feature_target, axis=axis,
+                  dtype=jnp.float32)
+    sq = lambda f: jnp.sqrt(jnp.sum(f * f, axis=axis, dtype=jnp.float32))
+    den = jnp.maximum(sq(feature_rgb), eps) * jnp.maximum(
+        sq(feature_target), eps)
     cos = num / den
     return 1.0 - jnp.mean(cos)
 
@@ -66,7 +67,8 @@ def _pairwise_distance(x, y, axis: int = -1, eps: float = 1e-6):
     """torch.nn.functional.pairwise_distance: L2 norm of (x-y+eps) over
     one axis (torch reduces the last; see module docstring for the
     layout mapping)."""
-    return jnp.sqrt(jnp.sum((x - y + eps) ** 2, axis=axis))
+    return jnp.sqrt(jnp.sum((x - y + eps) ** 2, axis=axis,
+                            dtype=jnp.float32))
 
 
 def _triplet_margin(anchor, positive, negative, margin: float,

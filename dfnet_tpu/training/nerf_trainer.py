@@ -87,10 +87,11 @@ class NeRFTrainer:
     # ------------------------------------------------------------- step
     def _build_step(self):
         self._epoch = self._make_epoch(self.settings, primary=True)
-        # culled-train warmup: the per-ray interval restriction trusts the
-        # coarse weights, which are noise at init — see QUALITY.md's
-        # warmup ablation for the measured cost of culling from epoch 0.
-        # Run the reference schedule for train_cull_warmup epochs first.
+        # culled-train warmup (opt-in, default 0): QUALITY.md's round-4
+        # ablation measured warmup as a net LOSS (warmup 60 lands 0.15 dB
+        # below warmup 0 at fixed epochs) — at init the coarse weights are
+        # near-uniform so the [q, 1-q] interval covers ~the full range and
+        # culling-from-0 is harmless. Kept as a flag for schedule research.
         self._epoch_warm = None
         if self.cfg.train_cull_q > 0.0 and self.cfg.train_cull_warmup > 0:
             import dataclasses as _dc
@@ -129,6 +130,9 @@ class NeRFTrainer:
             use_fused_train = (n_shard > 0
                                and fused_train_supported(model, settings,
                                                          n_shard))
+        # surfaced for benches/logs: which step implementation actually
+        # serves this config (wide MLPs, odd batches etc. fall back to XLA)
+        self.uses_fused_train = use_fused_train
 
         def loss_fn(params, rays_o, rays_d, target, hist, rng, epoch):
             # epoch only matters for the DNeRF windowed embedding

@@ -35,15 +35,18 @@ def test_bf16_forward_tracks_f32(setup):
         params, state, x, cfg, return_feature=True, is_single_stream=True,
         upsample_h=24, upsample_w=32, train_bn=True,
         compute_dtype=jnp.bfloat16)
-    # outputs are f32 regardless of the compute dtype
+    # pose (and anything downstream of pooling) is f32; feature maps
+    # ride the compute dtype through the upsample + feature-loss path
+    # (the losses accumulate their distance reductions in f32)
     assert bf_pose.dtype == jnp.float32
-    assert bf_feats[0].dtype == jnp.float32
+    assert bf_feats[0].dtype == jnp.bfloat16
     # bf16 has ~3 decimal digits; 13 conv layers compound — relative
     # agreement at the percent level is the expected regime
     ref = float(jnp.max(jnp.abs(f32_pose)))
     assert float(jnp.max(jnp.abs(bf_pose - f32_pose))) < 0.05 * max(ref, 1.0)
     # feature maps are BN-normalized (unit-ish scale)
-    err = float(jnp.mean(jnp.abs(bf_feats[0] - f32_feats[0])))
+    err = float(jnp.mean(jnp.abs(bf_feats[0].astype(jnp.float32)
+                                 - f32_feats[0])))
     assert err < 0.08, err
 
 
