@@ -455,6 +455,12 @@ def fast_path_supported(model, settings: RenderSettings) -> bool:
             widths.append(model.cfg_proposal.W)
         if min(widths) < 64:
             return False
+    # the per-ray conditioning rows ([dir | transient] halves, width W)
+    # ride (LANES, LANES) expansion tiles — widths beyond LANES need a
+    # multi-tile dpt stream the kernels don't have (see per_ray_row /
+    # dpt_tiles_of); wide MLPs keep the XLA path on every backend
+    if max(model.cfg_coarse.W, model.cfg_fine.W) > nk.LANES:
+        return False
     if model.embed_xyz.windowed or model.embed_dir.windowed:
         return False  # epoch-dependent frequency window -> XLA path
     if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:

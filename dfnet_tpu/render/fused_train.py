@@ -177,6 +177,10 @@ def fused_train_supported(model, settings: RenderSettings,
     if jax.default_backend() != "cpu":
         if min(model.cfg_coarse.W, model.cfg_fine.W) < 64:
             return False
+    # per-ray conditioning width W must fit one (LANES, LANES) expansion
+    # tile (see fast.fast_supported) — wide MLPs train on the XLA path
+    if max(model.cfg_coarse.W, model.cfg_fine.W) > nk.LANES:
+        return False
     if model.embed_xyz.windowed or model.embed_dir.windowed:
         return False
     if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:

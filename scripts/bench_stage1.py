@@ -30,12 +30,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train_cull_q", type=float, default=0.0)
     ap.add_argument("--train_fine_total", type=int, default=0)
-    # warmup must be 0 here or the benched epochs (all < the default
-    # warmup of 60) would silently run the reference schedule while the
-    # label says "cull" (ADVICE.md round 3)
+    # warmup stays 0 here (and is now 0 in config too — QUALITY.md
+    # round-4 ablation): a nonzero warmup would make the benched epochs
+    # silently run the reference schedule while the label says "cull"
+    # (ADVICE.md round 3)
     ap.add_argument("--train_cull_warmup", type=int, default=0)
     ap.add_argument("--n_rand", type=int, default=1536)
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--netwidth", type=int, default=128)
+    ap.add_argument("--netwidth_fine", type=int, default=128)
     ap.add_argument("--xla_path", action="store_true",
                     help="disable the fused custom-VJP kernels")
     a = ap.parse_args()
@@ -44,7 +47,9 @@ def main():
             "--precision", "bf16", "--N_rand", str(a.n_rand),
             "--train_cull_q", str(a.train_cull_q),
             "--train_fine_total", str(a.train_fine_total),
-            "--train_cull_warmup", str(a.train_cull_warmup)]
+            "--train_cull_warmup", str(a.train_cull_warmup),
+            "--netwidth", str(a.netwidth),
+            "--netwidth_fine", str(a.netwidth_fine)]
     if a.xla_path:
         argv += ["--fused_train", "false"]
     cfg = parse_args(argv, stage="nerf")
@@ -62,8 +67,11 @@ def main():
         best = max(best, a.epochs * len(scene.train) / dt)
     sched = (f"cull q={a.train_cull_q} nf={a.train_fine_total}"
              if a.train_cull_q > 0 else "reference 64+64")
-    print(f"stage1 train ({sched}, N_rand={a.n_rand}, "
-          f"{'xla' if a.xla_path else 'fused'}): {best:.1f} steps/s")
+    width = (f", W={a.netwidth}/{a.netwidth_fine}"
+             if (a.netwidth, a.netwidth_fine) != (128, 128) else "")
+    path = "fused" if getattr(tr, "uses_fused_train", False) else "xla"
+    print(f"stage1 train ({sched}, N_rand={a.n_rand}{width}, "
+          f"{path}): {best:.1f} steps/s")
 
 
 if __name__ == "__main__":

@@ -141,6 +141,61 @@ def main():
                 lambda: out["v"], a.steps)
     print(f"dfnet fwd (features+pose) 2B={2*b}: {ms:.1f} ms", flush=True)
 
+    # ---- finer decomposition of the adapt→upsample→triplet block ------
+    from dfnet_tpu.models.dfnet import _adapt_level
+    from dfnet_tpu.ops.resize import resize_bilinear_align_corners
+    from dfnet_tpu.training.feature_losses import (
+        triplet_loss_hard_negative_mining)
+
+    # synthetic taps at the real VGG tap shapes/channels
+    tap_shapes = {"conv1_2": (H, W, 64), "conv3_3": (H // 4, W // 4, 256),
+                  "conv5_3": (H // 16, W // 16, 512)}
+    key = jax.random.PRNGKey(0)
+    for i, name in enumerate(mcfg.hypercolumn_layers):
+        th, tw, tc = tap_shapes[name]
+        tap = jax.random.normal(key, (2 * b, th, tw, tc), cdt)
+
+        @jax.jit
+        def adapt_fwdbwd(p, s, tap, i=str(i)):
+            def f(p):
+                y, _ = _adapt_level(p["adapt"][i], s["adapt"][i], tap, True)
+                return jnp.sum(y.astype(jnp.float32))
+            return jax.tree.leaves(jax.grad(f)(p))[0].ravel()[0]
+
+        ms = timeit(lambda: out.__setitem__("v", adapt_fwdbwd(params, state,
+                                                              tap)),
+                    lambda: out["v"], a.steps)
+        print(f"adapt[{name}] {th}x{tw}x{tc} fwd+bwd: {ms:.1f} ms",
+              flush=True)
+
+        @jax.jit
+        def ups_fwdbwd(x):
+            def f(x):
+                return jnp.sum(resize_bilinear_align_corners(x, H, W)
+                               .astype(jnp.float32))
+            return jax.grad(f)(x).ravel()[0]
+
+        amap = jax.random.normal(key, (2 * b, th, tw, mcfg.output_dim), cdt)
+        ms = timeit(lambda: out.__setitem__("v", ups_fwdbwd(amap)),
+                    lambda: out["v"], a.steps)
+        print(f"upsample[{name}] {th}x{tw}->{H}x{W} fwd+bwd: {ms:.1f} ms",
+              flush=True)
+
+    L = len(mcfg.hypercolumn_layers)
+    f1 = jax.random.normal(key, (L, b, H, W, mcfg.output_dim), cdt)
+    f2 = f1 + 0.01
+
+    @jax.jit
+    def trip_fwdbwd(f1, f2):
+        def f(f2):
+            return triplet_loss_hard_negative_mining(f1, f2)
+        return jax.grad(f)(f2).ravel()[0]
+
+    ms = timeit(lambda: out.__setitem__("v", trip_fwdbwd(f1, f2)),
+                lambda: out["v"], a.steps)
+    print(f"triplet(hard-neg) L={L} B={b} {H}x{W}x{mcfg.output_dim} "
+          f"fwd+bwd: {ms:.1f} ms", flush=True)
+
     print("\nderived:", flush=True)
     full, norvs = results["full (triplet+RVS)"], results["no RVS (triplet)"]
     pose_only = results["pose-only"]

@@ -37,7 +37,8 @@ def main():
         epochs = int(sys.argv[sys.argv.index("--epochs") + 1])
     extra = []
     for flag in ("--train_cull_q", "--train_fine_total",
-                 "--train_cull_warmup"):
+                 "--train_cull_warmup", "--netwidth", "--netwidth_fine",
+                 "--netdepth", "--netdepth_fine"):
         if flag in sys.argv:
             extra += [flag, sys.argv[sys.argv.index(flag) + 1]]
     cfg = parse_args([
@@ -70,6 +71,11 @@ def main():
     val_psnr(jax.jit(lambda p, h: render_image(
         params, model, p, h, H, W, focal, settings, chunk=4096)),
         "XLA reference schedule")
+    from dfnet_tpu.render.fast import fast_path_supported
+    if not fast_path_supported(model, settings):
+        print("fast paths unsupported for this config (see "
+              "fast_path_supported) — XLA render only", flush=True)
+        return
     for label, kw in (
         ("fast + proposal placement (exact union)",
          dict(exact_union=True, use_proposal=True)),

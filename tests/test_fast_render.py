@@ -166,6 +166,11 @@ def test_fast_path_gating(nerfh, monkeypatch):
     bad = dataclasses.replace(model, cfg_fine=dataclasses.replace(
         model.cfg_fine, out_ch=131))
     assert not fast_path_supported(bad, settings)
+    # width beyond one LANES tile -> unsupported (per-ray conditioning
+    # rows can't span multiple expansion tiles); wide MLPs use XLA
+    wide = dataclasses.replace(model, cfg_fine=dataclasses.replace(
+        model.cfg_fine, W=256))
+    assert not fast_path_supported(wide, settings)
 
 
 def test_mono_path_matches_blend(nerfh):

@@ -55,6 +55,11 @@ def test_supported(setup):
         assert fused_train_supported(model, settings, ro.shape[0])
         # misaligned ray batches must fall back
         assert not fused_train_supported(model, settings, ro.shape[0] + 1)
+        # widths beyond one LANES tile must fall back to the XLA step
+        import dataclasses
+        wide = dataclasses.replace(model, cfg_fine=dataclasses.replace(
+            model.cfg_fine, W=256))
+        assert not fused_train_supported(wide, settings, ro.shape[0])
     finally:
         ft.ALLOW_INTERPRET_TRAIN = old
 
