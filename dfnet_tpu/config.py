@@ -189,9 +189,17 @@ def _coerce(name: str, raw, current):
     # `from __future__ import annotations` stringizes f.type, so compare
     # against the string forms ("bool", "Optional[bool]").
     ftype = f.type if isinstance(f.type, str) else str(f.type)
+    is_bool_field = (ftype in ("bool", "Optional[bool]")
+                     or isinstance(current, bool))
     if isinstance(raw, bool):
+        # a bare flag (no value) parses as True — fine for bool fields,
+        # a user error for anything else (e.g. `--pretrain_model_path
+        # --epochs 2` after an empty shell substitution)
+        if not is_bool_field:
+            raise SystemExit(
+                f"[config] --{name} requires a value (got a bare flag)")
         return raw
-    if ftype in ("bool", "Optional[bool]") or isinstance(current, bool):
+    if is_bool_field:
         if isinstance(raw, str):
             return raw.strip().lower() in ("true", "1", "yes", "on")
         return bool(raw)

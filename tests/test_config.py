@@ -83,3 +83,12 @@ def test_parse_config_file_comments(tmp_path):
 def test_bool_string_false():
     cfg = parse_args(["--NeRFH", "False"], stage="nerf")
     assert cfg.NeRFH is False
+
+
+def test_bare_flag_on_string_field_is_an_error():
+    # `--pretrain_model_path --epochs 2` (e.g. after an empty shell
+    # substitution) must fail loudly, not coerce the path to True
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_args(["--pretrain_model_path", "--epochs", "2"], stage="dm")
