@@ -90,16 +90,24 @@ def main():
     exact = "--exact" in sys.argv       # reference exact-union schedule
     chunk_override = (int(sys.argv[sys.argv.index("--chunk") + 1])
                       if "--chunk" in sys.argv else None)
+    arg_of = lambda f, d: (sys.argv[sys.argv.index(f) + 1]
+                           if f in sys.argv else d)
+    # width/ckpt overrides for frontier probes (e.g. a W=256 model
+    # trained+saved via scripts/quality_synthetic.py --save_ckpt)
+    netw = arg_of("--netwidth", "128")
+    netwf = arg_of("--netwidth_fine", "128")
+    ckpt_path = arg_of("--ckpt", CKPT)
     cfg = parse_args([
         "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
-        "--precision", precision,
+        "--precision", precision, "--netwidth", netw,
+        "--netwidth_fine", netwf,
     ], stage="nerf")
     model, params = create_nerfh(cfg, jax.random.PRNGKey(0))
     scene = make_synthetic_scene(n_train=24, n_val=6, H=48, W=64,
                                  focal=60.0, seed=0, appearance_jitter=0.1)
-    trained = osp.exists(CKPT)
+    trained = osp.exists(ckpt_path)
     if trained:
-        loaded, _ = load_pytree(CKPT)
+        loaded, _ = load_pytree(ckpt_path)
         params = jax.tree.map(jnp.asarray, loaded)
     else:
         print("[bench] WARNING: trained checkpoint missing — random init; "

@@ -53,6 +53,11 @@ def load_scene(cfg: Config, stage: str = "nerf") -> SceneData:
             _relabel_with_indices(scene, cfg.fix_index)
         return scene
 
+    if cfg.dataset_type not in ("7Scenes", "Cambridge"):
+        # before touching the filesystem — a typo'd type would otherwise
+        # surface as a missing world_setup.json for the wrong layout
+        raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
+
     datadir = cfg.datadir.rstrip("/")
     meta_dir = datadir  # contains world_setup.json / pose_avg_stats.txt
     data_root, scene = osp.split(datadir)            # ../data/7Scenes, heads

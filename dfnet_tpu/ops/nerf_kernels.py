@@ -389,12 +389,15 @@ def od_tiles_of(rays_o, rays_d, R: int) -> jnp.ndarray:
 
 
 def dpt_tiles_of(dpt: jnp.ndarray, R: int) -> jnp.ndarray:
-    """(N, Wd<=LANES) per-ray rows -> (G, LANES, LANES) bf16 transposed
-    tiles: [g, :Wd, r] is ray g*R+r's row."""
+    """(N, Wd) per-ray rows -> (G, max(Wd,LANES), LANES) bf16 transposed
+    tiles: [g, :Wd, r] is ray g*R+r's row. Wd beyond LANES (wide MLPs,
+    W=256) just adds sublane rows — the in-kernel expansion matmul
+    dpt_tile @ exp is row-count agnostic."""
     n, wd = dpt.shape
     G = n // R
+    rows = max(LANES, wd)
     t = jnp.transpose(dpt.reshape(G, R, wd), (0, 2, 1)).astype(jnp.bfloat16)
-    tiles = jnp.zeros((G, LANES, LANES), jnp.bfloat16)
+    tiles = jnp.zeros((G, rows, LANES), jnp.bfloat16)
     return tiles.at[:, :wd, :R].set(t)
 
 
@@ -534,8 +537,9 @@ def coarse_sigma_t(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
     N = rays_o.shape[0]
     # sigma-only sweep is VMEM-light -> bigger tiles, fewer grid steps
     # (the per-step scaffolding — o/d expansion, PE, sine — is what a
-    # tiny proposal MLP pays for; amortize it)
-    R, T = tile_geometry(S, target=4096)
+    # tiny proposal MLP pays for; amortize it). Wide trunks halve it.
+    W = packed["w0"].shape[0]
+    R, T = tile_geometry(S, target=4096 if W <= LANES else 2048)
     if N % R != 0:
         R, T = tile_geometry(S)
     G = N // R
@@ -566,7 +570,8 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
     (OUT_ROWS, N, S) f32 PRE-activation channel-major raw output
     [rgb, sigma, trgb, tsigma, tbeta] in rows 0:9."""
     N, S = z_all.shape
-    R, T = tile_geometry(S, target=fine_tile_target(S))
+    W = packed["w0"].shape[0]
+    R, T = tile_geometry(S, target=fine_tile_target(S, W))
     G = N // R
     od = od_tiles_of(rays_o, rays_d, R)
     z_tiles = jnp.zeros((G, 8, T), jnp.float32)
@@ -583,8 +588,8 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dpt_tiles.shape[1], LANES),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 1),
         out_specs=pl.BlockSpec((OUT_ROWS, T), lambda i: (0, i),
@@ -595,18 +600,20 @@ def fine_raw_t(packed: Dict, rays_o, rays_d, z_all, dpt,
     return out.reshape(OUT_ROWS, N, S)
 
 
-def fine_tile_target(S: int) -> int:
+def fine_tile_target(S: int, W: int = LANES) -> int:
     """Fine-sweep point-tile size: 2048 keeps the S_f=128 workload under
     the VMEM scoped limit; short culled schedules (S_f <= 48) fit 4096,
     halving the per-grid-step scaffolding (od expand, PE, sine, weight
     loads) — the dominant overhead once the matmul work per point
-    shrinks."""
-    return 4096 if S <= 48 else 2048
+    shrinks. Wide MLPs (W > 128) double the per-point activation
+    footprint — halve the tile to stay under the scoped limit."""
+    t = 4096 if S <= 48 else 2048
+    return t // 2 if W > LANES else t
 
 
-def ray_tile(S: int) -> int:
+def ray_tile(S: int, W: int = LANES) -> int:
     """Rays-per-tile granularity callers must pad N to (fine kernel)."""
-    return tile_geometry(S, target=fine_tile_target(S))[0]
+    return tile_geometry(S, target=fine_tile_target(S, W))[0]
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +700,13 @@ def _bwd_kernel_t(spec: KernelSpec, D_mid: int, names, *refs):
         return jax.lax.dot_general(w, g, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
+    # Cotangents cast to bf16 between layers (single cast). An hi/lo
+    # split of every cotangent operand was probed for wide trunks
+    # (W=256) and CLOSED as a negative: it tightened one-step grad
+    # parity 5%->3.2% but did NOT recover the fused-vs-XLA trained-
+    # quality gap (seed-0 +0.06 dB, seed-1 -0.74 dB — inside trajectory
+    # noise) at 2.6x train cost. See QUALITY.md round-4 frontier.
+
     def bias_row(j, g_pre):
         row = dmm(ones8, g_pre)[0:1]
         dbias_ref[j:j + 1, 0:row.shape[1]] += row
@@ -753,8 +767,9 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
     trainable parameters in stage 1 — see render/fused_train.py)."""
     N, S = z_all.shape
     # smaller tiles than the forward: ~13 stashed activations + f32
-    # grad blocks must fit VMEM together
-    R, T = tile_geometry(S, target=1024)
+    # grad blocks must fit VMEM together (halved again for wide trunks)
+    bwd_W = packed["w0"].shape[0]
+    R, T = tile_geometry(S, target=1024 if bwd_W <= LANES else 512)
     if N % R != 0:
         raise ValueError(f"N={N} not a multiple of bwd ray tile {R}")
     G = N // R
@@ -811,8 +826,8 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, T), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dpt_tiles.shape[1], LANES),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((OUT_ROWS, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
@@ -856,9 +871,9 @@ def raw_bwd_t(packed: Dict, rays_o, rays_d, z_all, dpt, g,
     return d_packed, g_dpt
 
 
-def coarse_ray_tile(S: int) -> int:
+def coarse_ray_tile(S: int, W: int = LANES) -> int:
     """Preferred rays-per-tile of the sigma-only kernel (bigger tiles)."""
-    return tile_geometry(S, target=4096)[0]
+    return tile_geometry(S, target=4096 if W <= LANES else 2048)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -1083,7 +1098,8 @@ def proposal_z_rows(packed: Dict, rays_o, rays_d, spec: KernelSpec, S: int,
     kernel's z_rows input). Matches render/fast.sample_pdf_blend over
     weights composited from the packed sigma-MLP at S uniform samples."""
     N = rays_o.shape[0]
-    R, T = tile_geometry(S, target=2048)
+    W = packed["w0"].shape[0]
+    R, T = tile_geometry(S, target=2048 if W <= LANES else 1024)
     if N % R != 0:
         raise ValueError(f"N={N} not a multiple of sampling ray tile {R}")
     G = N // R
@@ -1168,7 +1184,8 @@ def fine_composite_t(packed: Dict, rays_o, rays_d, z_rows, dpt,
     P = z_rows.shape[-1]
     N = rays_o.shape[0]
     S = P // N
-    R, T = tile_geometry(S, target=fine_tile_target(S))
+    W = packed["w0"].shape[0]
+    R, T = tile_geometry(S, target=fine_tile_target(S, W))
     G = N // R
     od = od_tiles_of(rays_o, rays_d, R)
     dpt_tiles = dpt_tiles_of(dpt, R)
@@ -1183,8 +1200,8 @@ def fine_composite_t(packed: Dict, rays_o, rays_d, z_rows, dpt,
             pl.BlockSpec((1, 16, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dpt_tiles.shape[1], LANES),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(names) + 2),
         out_specs=pl.BlockSpec((COMP_ROWS, LANES), lambda i: (0, i),

@@ -89,14 +89,35 @@ class FastNeRFH:
                   n_fine: Optional[int] = None,
                   n_place: Optional[int] = None) -> int:
         """Ray-count alignment all kernels need (pad to a multiple)."""
-        import math
-        sp = n_place or settings.N_samples
-        rc = nk.coarse_ray_tile(sp)
-        rf = nk.ray_tile(n_fine or (settings.N_samples
-                                    + settings.N_importance))
-        rs = nk.tile_geometry(sp, target=2048)[0]
-        a = rc * rf // math.gcd(rc, rf)
-        return a * rs // math.gcd(a, rs)
+        return kernel_ray_align(
+            self.model, settings, n_fine, n_place,
+            include_proposal=self.packed_proposal is not None)
+
+
+def kernel_ray_align(model, settings: RenderSettings,
+                     n_fine: Optional[int] = None,
+                     n_place: Optional[int] = None,
+                     include_proposal: bool = True) -> int:
+    """Ray-count alignment the fused kernels need for this model/schedule.
+    Tile geometry depends on each net's width (wide trunks halve the
+    point tiles — nk.fine_tile_target) — LCM over every (S, W)
+    combination that can run: the placement sweep on the proposal OR
+    coarse net, the fine sweep, and the in-kernel sampler."""
+    import math
+    sp = n_place or settings.N_samples
+    sf = n_fine or (settings.N_samples + settings.N_importance)
+    widths = [model.cfg_coarse.W]
+    if include_proposal and getattr(model, "cfg_proposal", None) is not None:
+        widths.append(model.cfg_proposal.W)
+    tiles = [nk.ray_tile(sf, model.cfg_fine.W)]
+    for w in widths:
+        tiles.append(nk.coarse_ray_tile(sp, w))
+        tiles.append(nk.tile_geometry(
+            sp, target=2048 if w <= nk.LANES else 1024)[0])
+    a = 1
+    for r in tiles:
+        a = a * r // math.gcd(a, r)
+    return a
 
 
 def _shifted_cumprod_lanes(alphas):
@@ -455,12 +476,13 @@ def fast_path_supported(model, settings: RenderSettings) -> bool:
             widths.append(model.cfg_proposal.W)
         if min(widths) < 64:
             return False
-    # the per-ray conditioning rows ([dir | transient] halves, width W)
-    # ride (LANES, LANES) expansion tiles — widths beyond LANES need a
-    # multi-tile dpt stream the kernels don't have (see per_ray_row /
-    # dpt_tiles_of); wide MLPs keep the XLA path on every backend
-    if max(model.cfg_coarse.W, model.cfg_fine.W) > nk.LANES:
-        return False
+    # wide MLPs: the per-ray conditioning rows (width W) ride taller
+    # (W, LANES) expansion tiles and point tiles halve for VMEM —
+    # supported for lane-aligned widths up to 2*LANES (W=256 validated;
+    # beyond that the VMEM budget is unverified)
+    for w in (model.cfg_coarse.W, model.cfg_fine.W):
+        if w > nk.LANES and (w % nk.LANES != 0 or w > 2 * nk.LANES):
+            return False
     if model.embed_xyz.windowed or model.embed_dir.windowed:
         return False  # epoch-dependent frequency window -> XLA path
     if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:

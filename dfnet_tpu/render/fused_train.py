@@ -140,19 +140,21 @@ def composite_nerfw_train(raw16, z_all, beta_min: float,
 # fused train render
 # ---------------------------------------------------------------------------
 
-def train_ray_align(settings: RenderSettings) -> int:
+def train_ray_align(settings: RenderSettings, W: int = nk.LANES) -> int:
     """Ray-batch alignment the fused train path needs (fwd + bwd tiles
-    of both sweeps)."""
+    of both sweeps). W: the widest trunk trained (wide MLPs halve the
+    point tiles — see nk.fine_tile_target)."""
     S = settings.N_samples
     S_all = S + settings.N_importance
     if settings.fine_importance_only:
         S_all = settings.N_importance
     if settings.train_cull_q > 0.0 and settings.train_fine_total:
         S_all = settings.train_fine_total
+    bwd_t = 1024 if W <= nk.LANES else 512
     a = 1
-    for r in (nk.ray_tile(S), nk.ray_tile(S_all),
-              nk.tile_geometry(S, target=1024)[0],
-              nk.tile_geometry(S_all, target=1024)[0]):
+    for r in (nk.ray_tile(S, W), nk.ray_tile(S_all, W),
+              nk.tile_geometry(S, target=bwd_t)[0],
+              nk.tile_geometry(S_all, target=bwd_t)[0]):
         a = a * r // math.gcd(a, r)
     return a
 
@@ -177,16 +179,18 @@ def fused_train_supported(model, settings: RenderSettings,
     if jax.default_backend() != "cpu":
         if min(model.cfg_coarse.W, model.cfg_fine.W) < 64:
             return False
-    # per-ray conditioning width W must fit one (LANES, LANES) expansion
-    # tile (see fast.fast_supported) — wide MLPs train on the XLA path
-    if max(model.cfg_coarse.W, model.cfg_fine.W) > nk.LANES:
-        return False
+    # wide MLPs supported for lane-aligned widths up to 2*LANES
+    # (taller conditioning tiles + halved point tiles, see fast.py)
+    for w in (model.cfg_coarse.W, model.cfg_fine.W):
+        if w > nk.LANES and (w % nk.LANES != 0 or w > 2 * nk.LANES):
+            return False
     if model.embed_xyz.windowed or model.embed_dir.windowed:
         return False
     if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:
         return False
     try:
-        if n_rand % train_ray_align(settings) != 0:
+        W = max(model.cfg_coarse.W, model.cfg_fine.W)
+        if n_rand % train_ray_align(settings, W) != 0:
             return False
     except ValueError:
         return False

@@ -464,18 +464,10 @@ def render_image_sharded(
             render_rays_fast
 
         if fast_path_supported(model, settings):
-            import math
-
-            from dfnet_tpu.ops import nerf_kernels as nk
+            from dfnet_tpu.render.fast import kernel_ray_align
 
             use_fast = True
-            s_fine = n_fine or (settings.N_samples + settings.N_importance)
-            s_place = n_place or settings.N_samples
-            align = 1
-            for r in (nk.coarse_ray_tile(s_place),
-                      nk.ray_tile(s_fine),
-                      nk.tile_geometry(s_place, target=2048)[0]):
-                align = align * r // math.gcd(align, r)
+            align = kernel_ray_align(model, settings, n_fine, n_place)
             chunk = max(chunk // align, 1) * align
     except ValueError:
         use_fast = False

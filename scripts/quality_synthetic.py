@@ -38,7 +38,8 @@ def main():
     extra = []
     for flag in ("--train_cull_q", "--train_fine_total",
                  "--train_cull_warmup", "--netwidth", "--netwidth_fine",
-                 "--netdepth", "--netdepth_fine"):
+                 "--netdepth", "--netdepth_fine", "--rng_seed",
+                 "--fused_train"):
         if flag in sys.argv:
             extra += [flag, sys.argv[sys.argv.index(flag) + 1]]
     cfg = parse_args([
@@ -55,6 +56,13 @@ def main():
             print(f"epoch {e}: loss {loss:.4f} train-psnr {psnr:.2f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
     print(f"trained {epochs} epochs in {time.time()-t0:.0f}s", flush=True)
+
+    if "--save_ckpt" in sys.argv:
+        from dfnet_tpu.training.checkpoints import save_pytree
+
+        path = sys.argv[sys.argv.index("--save_ckpt") + 1]
+        save_pytree(path, tr.params)
+        print(f"saved params to {path}", flush=True)
 
     params, model, settings = tr.params, tr.model, tr.settings_test
     H, W, focal = scene.H, scene.W, scene.focal

@@ -166,11 +166,18 @@ def test_fast_path_gating(nerfh, monkeypatch):
     bad = dataclasses.replace(model, cfg_fine=dataclasses.replace(
         model.cfg_fine, out_ch=131))
     assert not fast_path_supported(bad, settings)
-    # width beyond one LANES tile -> unsupported (per-ray conditioning
-    # rows can't span multiple expansion tiles); wide MLPs use XLA
+    # lane-aligned wide widths are supported (W=256: taller conditioning
+    # tiles + halved point tiles); non-128-multiples beyond LANES and
+    # anything past 2*LANES (unverified VMEM) are not
     wide = dataclasses.replace(model, cfg_fine=dataclasses.replace(
         model.cfg_fine, W=256))
-    assert not fast_path_supported(wide, settings)
+    assert fast_path_supported(wide, settings)
+    odd = dataclasses.replace(model, cfg_fine=dataclasses.replace(
+        model.cfg_fine, W=192))
+    assert not fast_path_supported(odd, settings)
+    huge = dataclasses.replace(model, cfg_fine=dataclasses.replace(
+        model.cfg_fine, W=512))
+    assert not fast_path_supported(huge, settings)
 
 
 def test_mono_path_matches_blend(nerfh):

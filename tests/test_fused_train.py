@@ -55,11 +55,16 @@ def test_supported(setup):
         assert fused_train_supported(model, settings, ro.shape[0])
         # misaligned ray batches must fall back
         assert not fused_train_supported(model, settings, ro.shape[0] + 1)
-        # widths beyond one LANES tile must fall back to the XLA step
+        # lane-aligned wide widths stay fused (alignment permitting);
+        # non-128-multiples beyond LANES fall back to the XLA step
         import dataclasses
         wide = dataclasses.replace(model, cfg_fine=dataclasses.replace(
             model.cfg_fine, W=256))
-        assert not fused_train_supported(wide, settings, ro.shape[0])
+        n_wide = 2 * train_ray_align(settings, 256)
+        assert fused_train_supported(wide, settings, n_wide)
+        odd = dataclasses.replace(model, cfg_fine=dataclasses.replace(
+            model.cfg_fine, W=192))
+        assert not fused_train_supported(odd, settings, n_wide)
     finally:
         ft.ALLOW_INTERPRET_TRAIN = old
 
