@@ -158,6 +158,8 @@ class Config:
                                         # larger-than-HBM datasets; 0 = device-resident/sync
     donate_step: bool = True            # donate params/opt_state buffers in jitted steps
     check_numerics: bool = False        # failure detection: error out on NaN/Inf in any jitted op
+    compilation_cache_dir: str = "~/.cache/dfnet_tpu/xla"  # persistent compile cache ("" disables);
+                                        # remote TPU compiles are 20s-12min, paid once per shape with this
     rng_seed: int = 0
     vgg_init_path: str = ""             # converted ImageNet VGG16 .npz (see convert.py)
 
@@ -368,7 +370,29 @@ def parse_args(argv: Optional[List[str]] = None, stage: str = "nerf") -> Config:
         object.__setattr__(cfg, k, _coerce(k, v, cur))
     if unknown:
         print(f"[config] ignoring unknown keys: {sorted(unknown)}", file=sys.stderr)
+    _enable_compilation_cache(cfg.compilation_cache_dir)
     return cfg
+
+
+def _enable_compilation_cache(cache_dir: str) -> None:
+    """Persistent XLA compilation cache: executables keyed by HLO +
+    compile options, reused across processes, so a CLI restart skips
+    the 20s-12min remote compiles (validated through the axon relay:
+    2.2s -> 0.5s probe jit). Wired here because parse_args is the one
+    entry point every CLI/script/bench run passes through; "" disables.
+    Best-effort: an unwritable cache dir must never break a run."""
+    if not cache_dir:
+        return
+    try:
+        import os
+
+        import jax
+
+        path = os.path.expanduser(cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except OSError as e:
+        print(f"[config] compilation cache disabled: {e}", file=sys.stderr)
 
 
 def apply_runtime_flags(cfg: Config) -> None:
@@ -377,7 +401,9 @@ def apply_runtime_flags(cfg: Config) -> None:
     check_numerics is the failure-detection knob: every jitted function
     is re-run op-by-op when a NaN/Inf appears and raises with the
     originating primitive — catching divergence at the step that caused
-    it instead of at the next checkpoint."""
+    it instead of at the next checkpoint. (The persistent compilation
+    cache is enabled in parse_args itself — see
+    _enable_compilation_cache.)"""
     if cfg.check_numerics:
         import jax
 
