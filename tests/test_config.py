@@ -92,3 +92,30 @@ def test_bare_flag_on_string_field_is_an_error():
 
     with pytest.raises(SystemExit):
         parse_args(["--pretrain_model_path", "--epochs", "2"], stage="dm")
+
+
+def test_compilation_cache_enabled(tmp_path):
+    # parse_args is the single choke point that turns on the persistent
+    # compile cache (config.py::_enable_compilation_cache); remote TPU
+    # compiles are 20s-12min, so a silently-broken cache is a real
+    # regression. "" must disable without error.
+    import jax
+
+    cache = tmp_path / "xla_cache"
+    parse_args(["--compilation_cache_dir", str(cache)], stage="nerf")
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    assert cache.is_dir()
+    # disable flag parses cleanly (per-process enable is sticky by design)
+    cfg = parse_args(["--compilation_cache_dir", ""], stage="nerf")
+    assert cfg.compilation_cache_dir == ""
+
+
+def test_compilation_cache_unwritable_dir_is_nonfatal(tmp_path, capsys):
+    # best-effort contract: an unwritable cache path must never break a
+    # run (e.g. read-only $HOME under a sandbox)
+    blocker = tmp_path / "f"
+    blocker.write_text("not a dir")
+    cfg = parse_args(["--compilation_cache_dir", str(blocker / "sub")],
+                     stage="nerf")
+    assert cfg is not None
+    assert "compilation cache disabled" in capsys.readouterr().err

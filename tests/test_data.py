@@ -119,6 +119,16 @@ def test_loader_synthetic():
     assert scene.train.images.shape[1:] == (48, 64, 3)
 
 
+def test_loader_unknown_dataset_type_errors_early():
+    # a typo'd type must raise the clear ValueError, not a confusing
+    # FileNotFoundError for a world_setup.json of the wrong layout
+    import pytest
+
+    cfg = parse_args(["--dataset_type", "bogus"], stage="nerf")
+    with pytest.raises(ValueError, match="unknown dataset_type"):
+        load_scene(cfg)
+
+
 def _write_fake_cambridge(root, scene="KingsCollege", n=5, H=32, W=32):
     from PIL import Image
 
