@@ -160,6 +160,9 @@ class Config:
     check_numerics: bool = False        # failure detection: error out on NaN/Inf in any jitted op
     compilation_cache_dir: str = "~/.cache/dfnet_tpu/xla"  # persistent compile cache ("" disables);
                                         # remote TPU compiles are 20s-12min, paid once per shape with this
+    aot_cache_dir: str = "~/.cache/dfnet_tpu/aot"  # persistent jax.export cache for the big stage-2/3
+                                        # step programs ("" disables): restarts skip Python retrace +
+                                        # lowering entirely (the dominant restart cost on 1-core hosts)
     rng_seed: int = 0
     vgg_init_path: str = ""             # converted ImageNet VGG16 .npz (see convert.py)
 
@@ -391,7 +394,10 @@ def _enable_compilation_cache(cache_dir: str) -> None:
         path = os.path.expanduser(cache_dir)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-    except OSError as e:
+    except Exception as e:  # noqa: BLE001 — best-effort contract above:
+        # besides OSError (unwritable dir), jax builds without the
+        # jax_compilation_cache_dir option raise AttributeError/ValueError
+        # from jax.config.update; none of these may abort parse_args.
         print(f"[config] compilation cache disabled: {e}", file=sys.stderr)
 
 

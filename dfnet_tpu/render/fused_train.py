@@ -140,21 +140,30 @@ def composite_nerfw_train(raw16, z_all, beta_min: float,
 # fused train render
 # ---------------------------------------------------------------------------
 
-def train_ray_align(settings: RenderSettings, W: int = nk.LANES) -> int:
+def train_ray_align(settings: RenderSettings, W: int = nk.LANES,
+                    W_fine: Optional[int] = None) -> int:
     """Ray-batch alignment the fused train path needs (fwd + bwd tiles
-    of both sweeps). W: the widest trunk trained (wide MLPs halve the
-    point tiles — see nk.fine_tile_target)."""
+    of both sweeps). Each sweep tiles by ITS OWN net's width (wide MLPs
+    halve the point tiles — see nk.fine_tile_target / raw_bwd_t's
+    packed["w0"] width): W is the coarse trunk, W_fine the fine trunk
+    (defaults to W). The LCM over all four (S, width) tile geometries
+    is what N_rand must divide by."""
+    if W_fine is None:
+        W_fine = W
     S = settings.N_samples
     S_all = S + settings.N_importance
     if settings.fine_importance_only:
         S_all = settings.N_importance
     if settings.train_cull_q > 0.0 and settings.train_fine_total:
         S_all = settings.train_fine_total
-    bwd_t = 1024 if W <= nk.LANES else 512
+
+    def bwd_t(w):
+        return 1024 if w <= nk.LANES else 512
+
     a = 1
-    for r in (nk.ray_tile(S, W), nk.ray_tile(S_all, W),
-              nk.tile_geometry(S, target=bwd_t)[0],
-              nk.tile_geometry(S_all, target=bwd_t)[0]):
+    for r in (nk.ray_tile(S, W), nk.ray_tile(S_all, W_fine),
+              nk.tile_geometry(S, target=bwd_t(W))[0],
+              nk.tile_geometry(S_all, target=bwd_t(W_fine))[0]):
         a = a * r // math.gcd(a, r)
     return a
 
@@ -189,8 +198,8 @@ def fused_train_supported(model, settings: RenderSettings,
     if 6 * model.embed_xyz.num_freqs + 3 > nk.LANES:
         return False
     try:
-        W = max(model.cfg_coarse.W, model.cfg_fine.W)
-        if n_rand % train_ray_align(settings, W) != 0:
+        if n_rand % train_ray_align(settings, model.cfg_coarse.W,
+                                    model.cfg_fine.W) != 0:
             return False
     except ValueError:
         return False

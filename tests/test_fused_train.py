@@ -69,6 +69,38 @@ def test_supported(setup):
         ft.ALLOW_INTERPRET_TRAIN = old
 
 
+def test_mixed_width_alignment():
+    """netwidth 128 / netwidth_fine 256: each sweep tiles by ITS OWN
+    net's width, so the batch alignment is the LCM over per-net tile
+    geometries — a single max-width figure under-aligns (round-4
+    advisor repro: align=16 accepted N_rand=1520, which then failed at
+    trace time inside the W=128 coarse fwd kernel that tiles rays in
+    multiples of 32)."""
+    import dfnet_tpu.render.fused_train as ft
+    from dfnet_tpu.ops import nerf_kernels as nk
+
+    cfg = parse_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--netwidth", "128", "--netwidth_fine", "256",
+        "--N_samples", "64", "--N_importance", "64", "--precision", "bf16",
+    ], stage="nerf")
+    model, _ = create_nerfh(cfg, jax.random.PRNGKey(0))
+    settings = render_settings(cfg, 0.5, 3.5)
+    a = train_ray_align(settings, model.cfg_coarse.W, model.cfg_fine.W)
+    S, S_all = 64, 128
+    for r in (nk.ray_tile(S, 128), nk.ray_tile(S_all, 256),
+              nk.tile_geometry(S, target=1024)[0],
+              nk.tile_geometry(S_all, target=512)[0]):
+        assert a % r == 0, (a, r)
+    old = ft.ALLOW_INTERPRET_TRAIN
+    ft.ALLOW_INTERPRET_TRAIN = True
+    try:
+        assert not fused_train_supported(model, settings, 1520)
+        assert fused_train_supported(model, settings, 2 * a)
+    finally:
+        ft.ALLOW_INTERPRET_TRAIN = old
+
+
 def test_forward_parity(setup):
     cfg, model, params, settings, ro, rd, hist, target = setup
     rng = jax.random.PRNGKey(7)
