@@ -128,12 +128,21 @@ def dfnet_forward(
     upsample_w: int = 427,
     train_bn: bool = False,
     compute_dtype=jnp.float32,
+    feature_count: int | None = None,
 ):
     """Returns (feature_maps, pose, new_state).
 
     feature_maps: None, or (single,) with single (L,B,H,W,C), or
     (target_stack, render_stack) for siamese input [targets; renders].
     pose: (B, feat_dim) or None when return_pose=False.
+
+    feature_count: only the first `feature_count` batch entries flow
+    through the adapt/upsample feature branch (default: all). Lets a
+    caller append extra pose-only images (e.g. stage-2 RVS views,
+    run_feature.py:219-227) to the SAME encoder dispatch: the encoder
+    has no batch coupling (pure convs) and the pose head is per-image,
+    so results are identical to a separate forward — adapt BatchNorm
+    batch statistics see exactly the first `feature_count` images.
 
     compute_dtype=bfloat16 runs the conv stacks (VGG encoder + adapt
     branches) on the MXU's bf16 path with f32 accumulation — master
@@ -153,11 +162,12 @@ def dfnet_forward(
     feature_maps = None
     new_state = state
     if return_feature:
+        fc = x.shape[0] if feature_count is None else feature_count
         adapted = []
         new_adapt = {}
         for i, f in enumerate(taps):
             a, ns = _adapt_level(params["adapt"][str(i)],
-                                 state["adapt"][str(i)], f, train_bn)
+                                 state["adapt"][str(i)], f[:fc], train_bn)
             # feature maps ride the compute dtype through the (large)
             # upsample + feature-loss path — BN statistics above stayed
             # f32; distance reductions in the losses accumulate f32

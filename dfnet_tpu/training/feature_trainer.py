@@ -134,16 +134,40 @@ class FeatureTrainer:
 
         def loss_fn(params, state, targets, rgbs, poses12,
                     rgb_perturb, pose_perturb12):
+            if use_rvs:
+                # RVS views ride the SAME encoder dispatch as the siamese
+                # pair (one 3B conv batch instead of 2B + a separate B
+                # forward — the reference's extra model call,
+                # run_feature.py:219-227, is dispatch-bound on TPU).
+                # feature_count=2B keeps adapt/BN statistics identical
+                # to the two-call form; pose head is per-image.
+                nb = targets.shape[0]
+                if shard is not None:
+                    targets = jax.lax.with_sharding_constraint(targets, shard)
+                    rgbs = jax.lax.with_sharding_constraint(rgbs, shard)
+                    rgb_perturb = jax.lax.with_sharding_constraint(
+                        rgb_perturb, shard)
+                x = jnp.concatenate([targets, rgbs, rgb_perturb], 0)
+                feats, predict, new_state = dfnet_forward(
+                    params, state, x, mcfg, return_feature=True,
+                    is_single_stream=False, feature_count=2 * nb,
+                    upsample_h=H, upsample_w=W, train_bn=train_bn,
+                    compute_dtype=cdt)
+                f_t, f_r = feats
+                pose_gt = jnp.concatenate([poses12, poses12], 0)
+                loss_pose = pose_loss(predict[:2 * nb], pose_gt)
+                if use_triplet:
+                    loss_f = triplet_loss_hard_negative_mining_plus(
+                        f_r, f_t, margin=cfg.triplet_margin,
+                        axis=triplet_axis)
+                else:
+                    loss_f = feature_mse(f_r, f_t)
+                loss_rvs = pose_loss(predict[2 * nb:], pose_perturb12)
+                loss = w[0] * loss_pose + w[1] * loss_f + w[2] * loss_rvs
+                return loss, new_state
             loss_pose, loss_f, new_state = siamese_losses(
                 params, state, targets, rgbs, poses12)
-            if use_rvs:
-                _, virtue_pose, _ = dfnet_forward(
-                    params, new_state, rgb_perturb, mcfg, return_feature=False,
-                    upsample_h=H, upsample_w=W, train_bn=False,
-                    compute_dtype=cdt)
-                loss_rvs = pose_loss(virtue_pose, pose_perturb12)
-                loss = w[0] * loss_pose + w[1] * loss_f + w[2] * loss_rvs
-            elif cfg.poselossonly:
+            if cfg.poselossonly:
                 loss = loss_pose
             elif cfg.featurelossonly:
                 loss = loss_f
@@ -165,6 +189,7 @@ class FeatureTrainer:
             params = optax.apply_updates(params, updates)
             return params, new_state, opt_state, loss
 
+        self._loss_fn = loss_fn      # exposed for golden-parity tests
         self._step = jax.jit(step, donate_argnums=(0, 2))
 
         def predict(params, state, images):
