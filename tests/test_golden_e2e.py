@@ -306,6 +306,144 @@ def test_stage1_step_golden(paired):
     check(grads["embedding_t"], emb_t.weight.grad, "embedding_t")
 
 
+def test_stage2_rvs_step_golden(tmp_path):
+    """ONE full stage-2 RVS train step pinned against a torch replica of
+    the reference composite (run_feature.py:166-230 + misc.py:399-435):
+    siamese DFNet forward, hard-negative-mining-plus triplet, RVS pose
+    loss, 3-way combine_loss_w sum, frozen-BN semantics
+    (utils.py:18-40 = eval-mode stats AND no grads on BN affine).
+    Loss AND parameter grads compared; then the real jitted step is run
+    and must reproduce the loss and leave BN affine untouched."""
+    import tempfile, os
+    from test_torch_parity import _TorchDFNet
+    from dfnet_tpu.config import parse_args as parse_feature_args
+    from dfnet_tpu.convert import convert_dfnet_checkpoint
+    from dfnet_tpu.data.synthetic import make_synthetic_scene
+    from dfnet_tpu.training.feature_trainer import FeatureTrainer
+
+    B, H, Wimg = 4, 32, 48
+    margin, w3 = 1.0, (0.3, 0.4, 0.5)
+    torch.manual_seed(3)
+    tnet = _TorchDFNet()
+    tnet.train()
+    for m in tnet.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            # freeze_bn_layer + freeze_bn_layer_train combined
+            m.eval()
+            m.weight.requires_grad_(False)
+            m.bias.requires_grad_(False)
+
+    g = torch.Generator().manual_seed(4)
+    t_imgs = torch.rand(B, 3, H, Wimg, generator=g)
+    r_imgs = torch.rand(B, 3, H, Wimg, generator=g)
+    v_imgs = torch.rand(B, 3, H, Wimg, generator=g)
+    poses = torch.randn(B, 12, generator=g)
+    poses_p = torch.randn(B, 12, generator=g)
+
+    # ---- torch step (reference train_on_batch_with_random_view_synthesis)
+    feats, pose_pred = tnet(torch.cat([t_imgs, r_imgs]), upsample=(H, Wimg))
+    f_t, f_r = feats[:, :B], feats[:, B:]
+    mse = nn.MSELoss()
+    loss_pose = mse(pose_pred, torch.cat([poses, poses]))
+
+    # misc.py:399-435 verbatim semantics
+    crit = nn.TripletMarginLoss(margin=margin)
+    anchor, positive = f_r, f_t
+    anchor_neg = torch.roll(f_r, 1, dims=1)
+    negative = torch.roll(f_t, 1, dims=1)
+    with torch.no_grad():
+        cases = torch.stack([mse(anchor, negative), mse(positive, anchor_neg),
+                             mse(anchor, anchor_neg), mse(positive, negative)])
+        which = int(torch.argmin(cases))
+    loss_f = [lambda: crit(anchor, positive, negative),
+              lambda: crit(positive, anchor, anchor_neg),
+              lambda: crit(anchor, positive, anchor_neg),
+              lambda: crit(positive, anchor, negative)][which]()
+
+    _, virtue_pose = tnet(v_imgs, upsample=(H, Wimg))
+    loss_rvs = mse(virtue_pose, poses_p)
+    loss_t = w3[0] * loss_pose + w3[1] * loss_f + w3[2] * loss_rvs
+    loss_t.backward()
+
+    # ---- jax side: the actual FeatureTrainer step machinery
+    with tempfile.TemporaryDirectory() as d:
+        pt = os.path.join(d, "ckpt.pt")
+        torch.save(tnet.state_dict(), pt)
+        t_params, t_state = convert_dfnet_checkpoint(pt)
+    scene = make_synthetic_scene(n_train=B, n_val=2, H=H, W=Wimg,
+                                 focal=40.0, seed=0)
+    cfg = parse_feature_args([
+        "--NeRFH", "--encode_hist", "--dataset_type", "synthetic",
+        "--DFNet", "--tripletloss", "--freezeBN",
+        "--random_view_synthesis", "--triplet_ref_axis", "True",
+        "--triplet_margin", str(margin),
+        "--combine_loss_w", "0.3,0.4,0.5",
+        "--feature_precision", "fp32",
+        "--featurenet_batch_size", str(B),
+        "--basedir", str(tmp_path), "--expname", "nerfh",
+        "--model_name", "dfnet",
+    ], stage="feature")
+    trainer = FeatureTrainer(cfg, scene, nerf=None)
+    params = jax.tree.map(jnp.asarray, t_params)
+    state = jax.tree.map(jnp.asarray, t_state)
+    to_nhwc = lambda x: jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+    batch = (to_nhwc(t_imgs), to_nhwc(r_imgs), jnp.asarray(poses.numpy()),
+             to_nhwc(v_imgs), jnp.asarray(poses_p.numpy()))
+
+    loss_j, grads = jax.value_and_grad(
+        lambda p: trainer._loss_fn(p, state, *batch)[0])(params)
+    assert abs(float(loss_j) - float(loss_t)) < 2e-4, (
+        f"loss: jax {float(loss_j)} vs torch {float(loss_t)}")
+
+    def check(gj, gt, name, tol=2e-3):
+        gj = np.asarray(gj)
+        gt = gt.detach().numpy()
+        if gt.ndim == 4:                   # torch conv (out,in,kh,kw)
+            gt = gt.transpose(2, 3, 1, 0)
+        elif gt.ndim == 2 and gj.shape == gt.T.shape:
+            gt = gt.T
+        scale = max(np.abs(gt).max(), 1e-8)
+        err = np.abs(gj - gt).max() / scale
+        assert err < tol, f"{name}: rel grad err {err:.5f}"
+
+    check(grads["encoder"]["conv1_1"]["w"], tnet.encoder[0].weight.grad,
+          "encoder conv1_1 w")
+    check(grads["encoder"]["conv5_3"]["w"], tnet.encoder[28].weight.grad,
+          "encoder conv5_3 w")
+    check(grads["encoder"]["conv5_3"]["b"], tnet.encoder[28].bias.grad,
+          "encoder conv5_3 b")
+    a0 = tnet.adaptation_layers.adapt_layer_0
+    a2 = tnet.adaptation_layers.adapt_layer_2
+    check(grads["adapt"]["0"]["conv1"]["w"], a0[0].weight.grad, "adapt0 conv1 w")
+    check(grads["adapt"]["0"]["conv2"]["w"], a0[2].weight.grad, "adapt0 conv2 w")
+    # level 2 (conv5_3 tap): f_t ≈ f_r — deep responses of two images are
+    # dominated by the shared DC response, so the triplet's f_r−f_t is a
+    # tiny difference of large near-equal values. f32 cancellation puts a
+    # ~1e-2 relative noise floor on this branch's grads (measured: the
+    # isolated triplet, resize-transpose, and forward all agree to 1e-7;
+    # a wrong case/axis/mode produces O(1) errors, still caught here).
+    check(grads["adapt"]["2"]["conv1"]["w"], a2[0].weight.grad,
+          "adapt2 conv1 w", tol=2e-2)
+    check(grads["adapt"]["2"]["conv2"]["w"], a2[2].weight.grad,
+          "adapt2 conv2 w", tol=5e-2)
+    # conv2 bias shifts BOTH siamese streams equally → cancels in every
+    # pairwise distance: its true grad is zero (both sides agree on ~0)
+    assert np.abs(np.asarray(grads["adapt"]["2"]["conv2"]["b"])).max() < 1e-6
+    assert a2[2].bias.grad.abs().max().item() < 1e-6
+    check(grads["fc_pose"]["w"], tnet.fc_pose.weight.grad, "fc_pose w")
+    check(grads["fc_pose"]["b"], tnet.fc_pose.bias.grad, "fc_pose b")
+
+    # ---- the real jitted step: same loss, BN affine untouched (the
+    # reference's requires_grad_(False) == our masked grads)
+    bn_before = np.asarray(params["adapt"]["0"]["bn_scale"])
+    new_params, _, _, loss_step = trainer._step(
+        params, state, trainer.optimizer.init(params), *batch,
+        cfg.learning_rate)
+    assert abs(float(loss_step) - float(loss_t)) < 2e-4
+    np.testing.assert_array_equal(
+        bn_before, np.asarray(new_params["adapt"]["0"]["bn_scale"]))
+
+
 def test_stage3_pose_grad_golden(paired):
     """d(loss)/d(pose) through get_rays -> render: the stage-3 gradient
     mechanism (reference dm/direct_pose_model.py train_nerf_tracking's
