@@ -228,6 +228,33 @@ def main():
         best = max(best, n * iters / dt)
     rays_per_sec = best
     watchdog.cancel()
+
+    # ---- stage-2/3 step times (VERDICT r4 item 8): run the dedicated
+    # microbenches as HARD-TIMEOUT subprocesses so a cold compile or a
+    # wedged relay can only null these keys, never void the render
+    # numbers above. With warm AOT (~/.cache/dfnet_tpu/aot) + XLA caches
+    # each takes ~1-3 min; cold compiles exceed the timeout → null.
+    def bench_sub(args, pattern, timeout_s):
+        import re
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable] + args, capture_output=True, text=True,
+                timeout=timeout_s, cwd=osp.dirname(osp.abspath(__file__)))
+            m = re.search(pattern, r.stdout + r.stderr)
+            return round(float(m.group(1)), 2) if m else None
+        except Exception:
+            return None
+
+    import os
+
+    sub_t = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "1500"))
+    stage2_ms = bench_sub(["scripts/bench_stage2.py", "--rvs"],
+                          r"([\d.]+) ms/step", sub_t)
+    stage3_ms = bench_sub(["scripts/bench_stage3.py"],
+                          r"([\d.]+) ms/image", sub_t)
+
     print(json.dumps({
         "metric": "nerf_render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -235,6 +262,8 @@ def main():
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
         "train_steps_per_sec": round(train_steps_per_sec, 1),
         "train_steps_per_sec_culled": round(train_culled_steps_per_sec, 1),
+        "stage2_ms_per_step": stage2_ms,     # B=4 240x427 bf16 +RVS
+        "stage3_ms_per_image": stage3_ms,    # 240x427 bf16, render @/4
         "trained_ckpt": trained,
         "render_path": ("xla" if use_xla else
                         "fast_exact" if exact else

@@ -92,6 +92,8 @@ class Config:
     pose_only: int = 1
     learning_rate: float = 1e-4
     featurenet_batch_size: int = 8
+    dm_batch_size: int = 1             # stage-3 images per update: 1 = reference per-image loop;
+                                       # K>1 batches pose-predict/render/features into one dispatch
     pretrain_model_path: str = ""
     pretrain_featurenet_path: str = ""
     combine_loss: bool = False

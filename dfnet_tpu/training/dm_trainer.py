@@ -126,8 +126,75 @@ class DMTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, psnr
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+        self._loss_fn = loss_fn      # exposed for parity tests
+        # the stage-3 step bakes the frozen NeRF + feature-net weights in
+        # as jit constants — their VALUES go into the AOT cache key
+        from dfnet_tpu.utils.aot import aot_jit
+
+        self._step = aot_jit(
+            step, key=f"dm_step|{cfg!r}", cache_dir=cfg.aot_cache_dir,
+            donate_argnums=(0, 1), label="dm_step",
+            consts=(nerf.params, self.feat_params, self.feat_state,
+                    self.state))
         self._predict_pose = jax.jit(predict_pose)
+
+        # ---- batched step (--dm_batch_size K > 1): K images per update.
+        # The reference loops single images (direct_feature_matching.py:322)
+        # — nothing forces that on TPU: predict K poses in one DFNet
+        # dispatch, render K views as ONE flattened ray stream
+        # (render_fn_batch), one siamese feature pass over 2K images, and
+        # ONE Adam update on the MEAN of the per-image losses. Per-image
+        # math is identical to the K=1 step (pinned by
+        # tests/test_dm_training.py); only the update cadence changes
+        # (K-image mean-grad steps — convergence A/B in QUALITY.md).
+        def batched_loss_fn(params, nerf_params, feat_params, images,
+                            poses_gt12, hists):
+            _, pose12, _ = dfnet_forward(params, self.state, images, mcfg,
+                                         return_feature=False,
+                                         upsample_h=H, upsample_w=W,
+                                         compute_dtype=self._cdt)
+            k = images.shape[0]
+            poses = pose12.reshape(k, 3, 4)
+            if cfg.svd_reg:
+                poses = project_rotation_svd(poses)
+            rgbs = nerf.render_fn_batch(nerf_params, poses, hists)
+            x = jnp.concatenate([images, rgbs], 0)    # [reals; renders]
+            feats, _, _ = dfnet_forward(
+                feat_params, self.feat_state, x, mcfg, return_feature=True,
+                is_single_stream=False, return_pose=False,
+                upsample_h=H, upsample_w=W, compute_dtype=self._cdt)
+            f_t = select_levels_for_loss(feats[0], levels)    # (K, L'C, HW)
+            f_r = select_levels_for_loss(feats[1], levels)
+            feat_l = jax.vmap(
+                lambda a, b: cosine_feature_loss(
+                    a, b, per_channel=cfg.per_channel))(f_r, f_t)
+            photo_l = jnp.mean((rgbs - images) ** 2, axis=(1, 2, 3))
+            # pose loss on the (svd-projected, when enabled) pose — same
+            # as the per-image path
+            pose_l = jnp.mean((poses.reshape(k, 12) - poses_gt12) ** 2,
+                              axis=1)
+            losses = w[0] * pose_l + w[1] * photo_l + w[2] * feat_l  # (K,)
+            return jnp.mean(losses), (losses, mse2psnr(photo_l))
+
+        def batched_step(params, opt_state, images, poses_gt12, hists):
+            (_, (losses, psnrs)), grads = jax.value_and_grad(
+                batched_loss_fn, has_aux=True)(
+                params, nerf.params, self.feat_params, images,
+                poses_gt12, hists)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses, psnrs
+
+        if cfg.dm_batch_size > 1:
+            self._step_batch = aot_jit(
+                batched_step, key=f"dm_step_batch|{cfg!r}",
+                cache_dir=cfg.aot_cache_dir, donate_argnums=(0, 1),
+                label="dm_step_batch",
+                consts=(nerf.params, self.feat_params, self.feat_state,
+                        self.state))
+        else:
+            self._step_batch = None
+        self._batched_loss_fn = batched_loss_fn   # for parity tests
 
         # --------------------------------------------------------- eval
         n_rand = cfg.N_rand
@@ -297,17 +364,34 @@ class DMTrainer:
     def train_epoch(self, rng: np.random.Generator) -> Tuple[float, float]:
         tr = self.scene.train
         order = rng.permutation(len(tr))
+        k = self.cfg.dm_batch_size
+        losses, psnrs = [], []
+
+        if self._step_batch is not None and len(order) >= k:
+            # full K-image batches through the batched step; the tail
+            # (n % K images) goes through the per-image step so every
+            # image still trains each epoch
+            n_full = (len(order) // k) * k
+            for s in range(0, n_full, k):
+                idx = order[s:s + k]
+                self.params, self.opt_state, ls, ps = self._step_batch(
+                    self.params, self.opt_state,
+                    jnp.asarray(tr.images[idx]),
+                    jnp.asarray(tr.poses[idx].reshape(k, 12)),
+                    jnp.asarray(tr.hists[idx]))
+                losses.extend(np.asarray(ls).tolist())
+                psnrs.extend(np.asarray(ps).tolist())
+            order = order[n_full:]
 
         def make_batch(i):
             return (tr.images[i], tr.poses[i].reshape(1, 12), tr.hists[i])
 
-        if self.cfg.prefetch > 0:
+        if self.cfg.prefetch > 0 and len(order):
             from dfnet_tpu.data.prefetch import PrefetchIterator
 
             it = PrefetchIterator(make_batch, order, depth=self.cfg.prefetch)
         else:
             it = (jax.tree.map(jnp.asarray, make_batch(i)) for i in order)
-        losses, psnrs = [], []
         for image, pose12, hist in it:
             self.params, self.opt_state, loss, psnr = self._step(
                 self.params, self.opt_state, image, pose12, hist)

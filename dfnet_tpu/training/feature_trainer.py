@@ -190,7 +190,16 @@ class FeatureTrainer:
             return params, new_state, opt_state, loss
 
         self._loss_fn = loss_fn      # exposed for golden-parity tests
-        self._step = jax.jit(step, donate_argnums=(0, 2))
+        # stage-2 step is the retrace-dominated program on CLI restart —
+        # serve it from the persistent jax.export cache when enabled.
+        # Mesh-sharded programs are pinned to a device count by
+        # jax.export (call-context mismatch errors) — plain jit there.
+        from dfnet_tpu.utils.aot import aot_jit
+
+        self._step = aot_jit(
+            step, key=f"feature_step|{cfg!r}",
+            cache_dir="" if self.mesh is not None else cfg.aot_cache_dir,
+            donate_argnums=(0, 2), label="feature_step")
 
         def predict(params, state, images):
             # eval path: f32 convs regardless of feature_precision (pose

@@ -23,7 +23,7 @@ from dfnet_tpu.config import Config
 from dfnet_tpu.models.factory import create_nerfh, render_settings
 from dfnet_tpu.ops.resize import resize_bicubic
 from dfnet_tpu.pose import rescale_poses_to_nerf
-from dfnet_tpu.render.volume import NeRFHModel, render_image
+from dfnet_tpu.render.volume import NeRFHModel, render_image, render_rays
 from dfnet_tpu.training.checkpoints import latest_checkpoint, load_pytree
 
 
@@ -129,7 +129,56 @@ class FrozenNeRF:
         else:
             render_at_pose_nograd = render_at_pose
 
-        self._render_at_pose = jax.jit(render_at_pose_nograd)
+        def render_batch_grad(params, poses_apr, hists):
+            """(B,3,4),(B,hist_bin) → (B,H,W,3), differentiable w.r.t.
+            the poses — the batched analog of render_fn for stage-3
+            batched steps. Rays of ALL B views are flattened into one
+            ray stream so the chunked render runs at B× the arithmetic
+            intensity (the reference's per-image loop,
+            direct_feature_matching.py:322, leaves the accelerator
+            underfed at tinyimg sizes). Per-ray math is identical to
+            render_fn, so outputs match the per-image path exactly."""
+            from dfnet_tpu.render.rays import get_rays
+
+            b = poses_apr.shape[0]
+            poses_nerf = rescale_poses_to_nerf(
+                poses_apr, ws["pose_scale"], ws["move_all_cam_vec"],
+                ws["pose_scale2"])
+            ro, rd = jax.vmap(lambda p: get_rays(rh, rw, rf, p))(poses_nerf)
+            ro = ro.reshape(-1, 3)
+            rd = rd.reshape(-1, 3)
+            hist_r = jnp.repeat(hists, rh * rw, axis=0)        # (B*rh*rw, HB)
+            n = ro.shape[0]
+            ck = min(chunk, n)
+            n_pad = -n % ck
+            ro = jnp.concatenate([ro, jnp.zeros((n_pad, 3), ro.dtype)], 0)
+            rd = jnp.concatenate([rd, jnp.ones((n_pad, 3), rd.dtype)], 0)
+            hist_r = jnp.concatenate(
+                [hist_r, jnp.zeros((n_pad,) + hist_r.shape[1:],
+                                   hist_r.dtype)], 0)
+            nc = (n + n_pad) // ck
+            rgb = jax.lax.map(
+                lambda a: render_rays(params, model, a[0], a[1], a[2],
+                                      settings)["rgb"],
+                (ro.reshape(nc, ck, 3), rd.reshape(nc, ck, 3),
+                 hist_r.reshape(nc, ck, -1)))
+            rgb = rgb.reshape(-1, 3)[:n].reshape(b, rh, rw, 3)
+            if tiny:
+                rgb = resize_bicubic(rgb, H, W)
+            return rgb
+
+        self.render_fn_batch = render_batch_grad
+
+        from dfnet_tpu.utils.aot import aot_jit
+
+        # mesh-sharded programs are device-count-pinned under jax.export
+        # (see feature_trainer) — AOT-cache only the unsharded case
+        aot_dir = "" if self.mesh is not None else cfg.aot_cache_dir
+        _key = (f"{cfg!r}|hwf={H},{W},{focal}|ws={sorted(ws.items())}"
+                f"|fast={use_fast}")
+        self._render_at_pose = aot_jit(
+            render_at_pose_nograd, key=f"render_at_pose|{_key}",
+            cache_dir=aot_dir, label="render_at_pose")
         self.render_fn = render_at_pose  # un-jitted, for embedding in larger jits (differentiable)
 
         def render_batch(params, poses, hists):
@@ -139,7 +188,9 @@ class FrozenNeRF:
                 lambda a: render_at_pose_nograd(params, a[0], a[1]),
                 (poses, hists))
 
-        self._render_batch = jax.jit(render_batch)
+        self._render_batch = aot_jit(
+            render_batch, key=f"render_batch|{_key}",
+            cache_dir=aot_dir, label="render_batch")
 
     def render_at_pose(self, pose_apr, hist) -> jnp.ndarray:
         """(H, W, 3) rgb at the given APR-frame pose."""

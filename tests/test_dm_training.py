@@ -104,6 +104,70 @@ def test_dm_pose_loss_mode(pipeline):
     assert min(ls[1:]) < ls[0]
 
 
+def test_dm_batched_step_parity(pipeline):
+    """--dm_batch_size K: the batched step's per-image losses and grads
+    must MATCH the reference-semantics per-image path exactly (the
+    flattened-ray batched render is per-ray identical; only the update
+    cadence changes)."""
+    import jax.numpy as jnp
+
+    tmp, dfnet_ckpt = pipeline
+    cfg = parse_args(BASE + [
+        "--basedir", str(tmp), "--expname", "nerfh", "--model_name", "dfnetbk",
+        "--pretrain_model_path", dfnet_ckpt,
+        "--DFNet", "--svd_reg", "--combine_loss", "--featuremetric",
+        "--dm_batch_size", "2", "--feature_precision", "fp32",
+    ], stage="dm").replace(combine_loss_w=[0.2, 0.3, 0.5])
+    nerf_cfg = cfg.replace(tinyimg=True, tinyscale=4.0)
+    nerf = FrozenNeRF.from_experiment(nerf_cfg, SCENE.hwf, SCENE.near,
+                                      SCENE.far, SCENE.world_setup)
+    trainer = DMTrainer(cfg, SCENE, nerf)
+    tr = SCENE.train
+    imgs = jnp.asarray(tr.images[:2])
+    p12 = jnp.asarray(tr.poses[:2].reshape(2, 12))
+    hists = jnp.asarray(tr.hists[:2])
+
+    mean_loss, (losses, psnrs) = trainer._batched_loss_fn(
+        trainer.params, nerf.params, trainer.feat_params, imgs, p12, hists)
+    assert np.allclose(float(mean_loss), np.asarray(losses).mean(), rtol=1e-6)
+
+    # per-image reference path: same loss per image
+    for i in range(2):
+        li, psnr_i = trainer._loss_fn(
+            trainer.params, nerf.params, trainer.feat_params, imgs[i],
+            p12[i][None], hists[i])
+        assert abs(float(li) - float(losses[i])) < 5e-5, i
+        assert abs(float(psnr_i) - float(psnrs[i])) < 5e-3, i
+
+    # gradient parity: batched K=2 grad == mean of the per-image grads
+    gb = jax.grad(lambda p: trainer._batched_loss_fn(
+        p, nerf.params, trainer.feat_params, imgs, p12, hists)[0])(
+        trainer.params)
+    g0 = jax.grad(lambda p: trainer._loss_fn(
+        p, nerf.params, trainer.feat_params, imgs[0], p12[0][None],
+        hists[0])[0])(trainer.params)
+    g1 = jax.grad(lambda p: trainer._loss_fn(
+        p, nerf.params, trainer.feat_params, imgs[1], p12[1][None],
+        hists[1])[0])(trainer.params)
+    gm = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    flat_b = jax.tree.leaves(gb)
+    flat_m = jax.tree.leaves(gm)
+    gscale = max(float(jnp.abs(x).max()) for x in flat_m)
+    for a, b in zip(flat_b, flat_m):
+        # per-leaf relative, floored by the global grad scale (leaves
+        # with ~zero grad otherwise blow up the relative error)
+        tol = 5e-3 * max(float(jnp.abs(b).max()), 1e-3 * gscale)
+        assert float(jnp.abs(a - b).max()) < tol
+
+    # the jitted batched step runs and an epoch mixes batch + tail paths
+    trainer.params, trainer.opt_state, ls, ps = trainer._step_batch(
+        trainer.params, trainer.opt_state, imgs, p12, hists)
+    assert np.isfinite(np.asarray(ls)).all()
+    rng = np.random.default_rng(0)
+    loss, psnr = trainer.train_epoch(rng)   # 6 train imgs: 3 batches of 2
+    assert np.isfinite(loss) and np.isfinite(psnr)
+
+
 def test_dm_photometric_variant(pipeline):
     """Direct-PoseNet lineage: photometric rgb loss on sampled rays."""
     tmp, dfnet_ckpt = pipeline
