@@ -266,10 +266,19 @@ def _field_help() -> Dict[str, str]:
     help_kv: Dict[str, str] = {}
     pending: List[str] = []
     in_config = False
+    # inspect.getsource consults the module loader (works for zipimport /
+    # relocated installs where __file__ is stale); reading __file__ is the
+    # fallback. Bytecode-only installs have no source — help degrades to
+    # flag names only, which argparse still renders.
     try:
-        src = open(__file__).read().splitlines()
-    except OSError:
-        return help_kv
+        import inspect
+
+        src = inspect.getsource(sys.modules[__name__]).splitlines()
+    except Exception:
+        try:
+            src = open(__file__).read().splitlines()
+        except OSError:
+            return help_kv
     for line in src:
         if line.startswith("class Config"):
             in_config = True

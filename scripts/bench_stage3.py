@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--H", type=int, default=240)
     ap.add_argument("--W", type=int, default=427)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--dm_batch_size", type=int, default=1,
+                    help="K>1 times the batched step (K images/update)")
     a = ap.parse_args()
 
     # stage-2 checkpoint on the fly (random init — throughput only)
@@ -49,6 +51,7 @@ def main():
         "--svd_reg", "--pretrain_model_path", ck,
         "--feature_precision", a.precision,
         "--tinyimg", "--tinyscale", "4.0",
+        "--dm_batch_size", str(a.dm_batch_size),
     ], stage="dm")
     scene = make_synthetic_scene(n_train=8, n_val=2, H=a.H, W=a.W,
                                  focal=300.0, seed=0)
@@ -56,16 +59,30 @@ def main():
                       scene.world_setup)
     tr = DMTrainer(cfg, scene, nerf)
 
-    img = jnp.asarray(scene.train.images[0])
-    p12 = jnp.asarray(scene.train.poses[0].reshape(12))
-    hist = jnp.asarray(scene.train.hists[0]) if scene.train.hists is not None \
-        else jnp.zeros((10,), jnp.float32)
+    k = a.dm_batch_size
+    if k > 1:
+        imgs = jnp.asarray(scene.train.images[:k])
+        p12s = jnp.asarray(scene.train.poses[:k].reshape(k, 12))
+        hists = (jnp.asarray(scene.train.hists[:k])
+                 if scene.train.hists is not None
+                 else jnp.zeros((k, 10), jnp.float32))
 
-    def run(n):
-        for _ in range(n):
-            tr.params, tr.opt_state, loss, psnr = tr._step(
-                tr.params, tr.opt_state, img, p12, hist)
-        return float(loss)  # single sync
+        def run(n):
+            for _ in range(n):
+                tr.params, tr.opt_state, losses, psnrs = tr._step_batch(
+                    tr.params, tr.opt_state, imgs, p12s, hists)
+            return float(losses[0])  # single sync
+    else:
+        img = jnp.asarray(scene.train.images[0])
+        p12 = jnp.asarray(scene.train.poses[0].reshape(12))
+        hist = jnp.asarray(scene.train.hists[0]) \
+            if scene.train.hists is not None else jnp.zeros((10,), jnp.float32)
+
+        def run(n):
+            for _ in range(n):
+                tr.params, tr.opt_state, loss, psnr = tr._step(
+                    tr.params, tr.opt_state, img, p12, hist)
+            return float(loss)  # single sync
 
     t0 = time.perf_counter()
     run(2)
@@ -74,9 +91,9 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         loss = run(a.steps)
-        dt = (time.perf_counter() - t0) / a.steps
+        dt = (time.perf_counter() - t0) / (a.steps * k)
         best = min(best, dt)
-    print(f"precision={a.precision} {a.H}x{a.W} (render @/4): "
+    print(f"precision={a.precision} {a.H}x{a.W} (render @/4) K={k}: "
           f"{best * 1e3:.1f} ms/image ({1.0 / best:.2f} img/s) loss={loss:.4f}")
 
 

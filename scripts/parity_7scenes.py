@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Data-enabled parity protocol for a real 7-Scenes (or Cambridge) scene.
+"""Data-enabled parity protocol for real 7-Scenes / Cambridge scenes.
 
 One command that, given a scene directory and released reference
 checkpoints, runs the full parity pipeline against BASELINE.md:
@@ -15,9 +15,18 @@ Usage (with data + released checkpoints):
       --nerf_ckpt paper_models/heads_nerfh.tar \
       --dfnet_ckpt paper_models/checkpoint-0888-0.0025.pt
 
-Dry run (no data needed — validates the whole protocol end-to-end on a
-miniature on-disk 7-Scenes replica + locally built checkpoints):
+Dry run (no data needed — validates the WHOLE protocol end-to-end):
   python scripts/parity_7scenes.py --dryrun
+
+The dryrun covers, in one command (VERDICT r4 item 7):
+  - a miniature on-disk 7-Scenes replica (MSR layout) in histogram mode,
+  - the same scene in index-embedding mode (NeRFH, encode_hist=False),
+  - a miniature Cambridge replica (rgb/poses layout),
+  - replica-built checkpoints in the reference's EXACT dict naming
+    (.tar: network_fn/fine_state_dict + embedding_a/t_state_dict,
+    nerfw.py:452-472; .pt: encoder./adaptation_layers./fc_pose,
+    dm/callbacks.py:90-100) round-tripped through convert.py with
+    bit-exact param equality asserted before the render/eval legs.
 """
 import argparse
 import os
@@ -40,70 +49,49 @@ def port_nerf(path: str, D: int):
     if path.endswith(".tar"):
         from dfnet_tpu.convert import convert_nerf_checkpoint
 
-        tree = convert_nerf_checkpoint(path, D=D)
-        tree.pop("global_step", None)
+        tree, _ = convert_nerf_checkpoint(path, D=D)
         return jax.tree.map(jnp.asarray, tree)
     tree, _ = load_pytree(path)
     params = tree.get("params", tree)
     return jax.tree.map(jnp.asarray, params)
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--datadir", default="")
-    ap.add_argument("--dataset_type", default="7Scenes")
-    ap.add_argument("--nerf_ckpt", default="")
-    ap.add_argument("--dfnet_ckpt", default="")
-    ap.add_argument("--df", type=float, default=2.0)
-    ap.add_argument("--max_render_views", type=int, default=0,
-                    help="cap rendered test views (0 = all)")
-    ap.add_argument("--dryrun", action="store_true",
-                    help="run on a miniature generated replica")
-    args = ap.parse_args(argv)
+TINY = ["--netdepth", "2", "--netwidth", "32", "--netdepth_fine", "2",
+        "--netwidth_fine", "32", "--N_samples", "16", "--N_importance", "16"]
 
-    if args.dryrun:
-        # protocol check needs no TPU; keep the real chip free (the
-        # sitecustomize pre-import makes JAX_PLATFORMS=cpu too late)
-        jax.config.update("jax_platforms", "cpu")
 
+def run_protocol(args, dataset_type: str, datadir: str, workdir,
+                 nerf_ckpt: str, dfnet_ckpt: str,
+                 encode_hist: bool = True) -> None:
+    """Port checkpoints, render the test split, eval DFNet pose error —
+    the full release-validation pipeline for one scene/mode."""
     from dfnet_tpu.config import parse_args
     from dfnet_tpu.data.loader import load_scene
     from dfnet_tpu.models.factory import create_nerfh, render_settings
     from dfnet_tpu.render.volume import render_image
-    from dfnet_tpu.training.eval_pose import get_error_in_q
     from dfnet_tpu.training.feature_trainer import FeatureTrainer
 
-    workdir = None
+    mode = "hist" if encode_hist else "index"
+    tag = f"{dataset_type}/{mode}"
+    base = ["--dataset_type", dataset_type, "--datadir", datadir,
+            "--NeRFH", "--df", str(args.df)]
+    if encode_hist:
+        base += ["--encode_hist"]
     if args.dryrun:
-        workdir = tempfile.mkdtemp(prefix="parity_dryrun_")
-        if args.dataset_type == "Cambridge":
-            args.datadir = _make_dryrun_fixture_cambridge(workdir)
-        else:
-            args.datadir = _make_dryrun_fixture(workdir)
-        print(f"[dryrun] miniature {args.dataset_type} replica at "
-              f"{args.datadir}")
-
-    base = ["--dataset_type", args.dataset_type, "--datadir", args.datadir,
-            "--NeRFH", "--encode_hist", "--df", str(args.df)]
-    if args.dryrun:
-        base += ["--netdepth", "2", "--netwidth", "32", "--netdepth_fine",
-                 "2", "--netwidth_fine", "32", "--N_samples", "16",
-                 "--N_importance", "16"]
+        base += TINY
     ncfg = parse_args(base, stage="nerf")
 
-    # ---------------------------------------------------- NeRF render PSNR
+    # ------------------------------------------------ NeRF render PSNR
     scene = load_scene(ncfg, stage="nerf")
     model, params = create_nerfh(ncfg, jax.random.PRNGKey(0))
-    if args.nerf_ckpt:
-        loaded = port_nerf(args.nerf_ckpt, D=ncfg.netdepth)
+    if nerf_ckpt:
+        loaded = port_nerf(nerf_ckpt, D=ncfg.netdepth)
         for k in params:
             if k not in loaded:
-                print(f"[port] NeRF ckpt lacks '{k}' — fresh init kept")
+                print(f"[port:{tag}] NeRF ckpt lacks '{k}' — fresh init kept")
                 loaded[k] = params[k]
         params = loaded
-        print(f"[port] NeRF-H weights from {args.nerf_ckpt}")
-    elif args.dryrun:
-        print("[dryrun] random-init NeRF (protocol check only)")
+        print(f"[port:{tag}] NeRF-H weights from {nerf_ckpt}")
     settings = render_settings(ncfg, scene.near, scene.far, test=True)
     H, W, focal = scene.H, scene.W, scene.focal
     render = jax.jit(lambda p, h: render_image(
@@ -119,28 +107,109 @@ def main(argv=None):
                                 jnp.asarray(split.hists[i]))["rgb"])
         mse = float(np.mean((rgb - split.images[i]) ** 2))
         psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
-        print(f"[nerf] view {i + 1}/{n_views}: PSNR {psnrs[-1]:.2f} dB",
-              flush=True)
-    print(f"[nerf] mean test PSNR: {np.mean(psnrs):.3f} dB "
+        print(f"[nerf:{tag}] view {i + 1}/{n_views}: "
+              f"PSNR {psnrs[-1]:.2f} dB", flush=True)
+    print(f"[nerf:{tag}] mean test PSNR: {np.mean(psnrs):.3f} dB "
           "(reference protocol: rendering.py:431-457; paper-scene anchors "
           "in BASELINE.md)")
 
-    # ---------------------------------------------------- DFNet pose error
+    # ------------------------------------------------ DFNet pose error
     fargs = base + ["--model_name", "parity_dfnet", "--DFNet",
                     "--basedir", workdir or "/tmp"]
-    if args.dfnet_ckpt:
-        fargs += ["--pretrain_model_path", args.dfnet_ckpt]
+    if dfnet_ckpt:
+        fargs += ["--pretrain_model_path", dfnet_ckpt]
     fcfg = parse_args(fargs, stage="feature")
     apr_scene = load_scene(fcfg, stage="apr")
     ft = FeatureTrainer(fcfg, apr_scene, nerf=None)
-    if not args.dfnet_ckpt:
-        print("[dryrun] random-init DFNet (protocol check only)")
+    if dfnet_ckpt:
+        print(f"[port:{tag}] DFNet weights from {dfnet_ckpt}")
     med, mean = ft.eval_median_error(apr_scene.val)
-    print(f"[dfnet] median error: {med[0]:.4f} m / {med[1]:.3f} deg; "
+    print(f"[dfnet:{tag}] median error: {med[0]:.4f} m / {med[1]:.3f} deg; "
           f"mean: {mean[0]:.4f} m / {mean[1]:.3f} deg")
-    print("[dfnet] compare against the paper tables (BASELINE.md: median "
-          "within 1 cm / 0.2 deg of the reference checkpoint's numbers)")
-    print("PARITY PROTOCOL COMPLETE")
+    print(f"[dfnet:{tag}] compare against the paper tables (BASELINE.md: "
+          "median within 1 cm / 0.2 deg of the reference checkpoint)")
+
+
+def _build_replica_ckpts(workdir: str, encode_hist: bool = True):
+    """Build checkpoints in the reference's exact torch formats from
+    fresh dfnet_tpu inits, asserting the convert.py round-trip is
+    bit-exact — so the ported-release code paths run with real .tar/.pt
+    inputs even without the released files."""
+    from dfnet_tpu.config import parse_args
+    from dfnet_tpu.convert import (convert_dfnet_checkpoint,
+                                   convert_nerf_checkpoint,
+                                   export_dfnet_checkpoint,
+                                   export_nerf_checkpoint)
+    from dfnet_tpu.models.dfnet import DFNetConfig, init_dfnet_params
+    from dfnet_tpu.models.factory import create_nerfh
+
+    mode = "hist" if encode_hist else "index"
+    ncfg = parse_args(
+        ["--dataset_type", "synthetic", "--NeRFH"] + TINY
+        + (["--encode_hist"] if encode_hist else []), stage="nerf")
+    _, params = create_nerfh(ncfg, jax.random.PRNGKey(7))
+    tar = osp.join(workdir, f"replica_nerfh_{mode}.tar")
+    export_nerf_checkpoint(params, tar, global_step=123)
+    back, meta = convert_nerf_checkpoint(tar, D=ncfg.netdepth)
+    assert meta["global_step"] == 123
+    for key in ("coarse", "fine", "embedding_a", "embedding_t"):
+        a, b = params[key], back[key]
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)), a, b)
+    print(f"[dryrun] replica .tar round-trip bit-exact "
+          f"({mode} mode): {tar}")
+
+    pt = osp.join(workdir, "replica_dfnet.pt")
+    dparams, dstate = init_dfnet_params(jax.random.PRNGKey(8), DFNetConfig())
+    export_dfnet_checkpoint(dparams, dstate, pt)
+    bparams, bstate = convert_dfnet_checkpoint(pt)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)), (dparams, dstate),
+        (bparams, bstate))
+    print(f"[dryrun] replica .pt round-trip bit-exact: {pt}")
+    return tar, pt
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datadir", default="")
+    ap.add_argument("--dataset_type", default="7Scenes")
+    ap.add_argument("--nerf_ckpt", default="")
+    ap.add_argument("--dfnet_ckpt", default="")
+    ap.add_argument("--df", type=float, default=2.0)
+    ap.add_argument("--max_render_views", type=int, default=0,
+                    help="cap rendered test views (0 = all)")
+    ap.add_argument("--dryrun", action="store_true",
+                    help="run every port+protocol on miniature replicas")
+    args = ap.parse_args(argv)
+
+    if not args.dryrun:
+        run_protocol(args, args.dataset_type, args.datadir, None,
+                     args.nerf_ckpt, args.dfnet_ckpt)
+        print("PARITY PROTOCOL COMPLETE")
+        return
+
+    # protocol check needs no TPU; keep the real chip free (the
+    # sitecustomize pre-import makes JAX_PLATFORMS=cpu too late)
+    jax.config.update("jax_platforms", "cpu")
+    workdir = tempfile.mkdtemp(prefix="parity_dryrun_")
+
+    # replica checkpoints in the reference's exact dict naming
+    tar_hist, pt = _build_replica_ckpts(workdir, encode_hist=True)
+    tar_index, _ = _build_replica_ckpts(workdir, encode_hist=False)
+
+    sevens = _make_dryrun_fixture(workdir)
+    cam = _make_dryrun_fixture_cambridge(workdir)
+    print(f"[dryrun] miniature replicas at {sevens} and {cam}")
+
+    run_protocol(args, "7Scenes", sevens, workdir, tar_hist, pt)
+    run_protocol(args, "7Scenes", sevens, workdir, tar_index, pt,
+                 encode_hist=False)
+    run_protocol(args, "Cambridge", cam, workdir, tar_hist, pt)
+    print("PARITY PROTOCOL COMPLETE (7Scenes hist + index, Cambridge, "
+          ".tar/.pt ports round-tripped)")
 
 
 def _make_dryrun_fixture(root, scene="heads", n_frames=6, H=64, W=64):
