@@ -136,8 +136,11 @@ def main():
 
     render_kw = {}
     if not use_xla and not exact:
-        render_kw = dict(cull_q=CULL_Q, n_fine=N_FINE,
-                         n_place=N_PLACE, fuse_composite=True)
+        # schedule knobs overridable for frontier probes (W=256 tuning)
+        render_kw = dict(cull_q=float(arg_of("--cull_q", CULL_Q)),
+                         n_fine=int(arg_of("--n_fine", N_FINE)),
+                         n_place=int(arg_of("--n_place", N_PLACE)),
+                         fuse_composite=True)
 
     n = N_RAYS_PER_CALL
     chunk = CHUNK if chunk_override is None else chunk_override
